@@ -1,0 +1,31 @@
+"""bz2tpu — a TPU-native bzip2-format lossless codec built on JAX/XLA/Pallas.
+
+Brand-new framework with the capability set of the reference
+(Stan1slav337/Bzip2-OpenCL: parallel block compression, full decode, CRC
+integrity checking, block-size levels, parallel-blocks control), re-designed
+TPU-first:
+
+- true 100 kB - 900 kB bzip2 blocks (standard levels 1-9), unlike the
+  reference's 10x-downscaled blocks (reference include/Config.hpp:30);
+- every compression stage vectorized for a vector machine (rank-doubling
+  suffix sort for the BWT, scan-based MTF/RLE2, MXU-friendly Huffman table
+  refinement, prefix-sum bitstream packing, GF(2) parallel CRC32) instead of
+  the reference's one-sequential-pipeline-per-work-item design
+  (reference kernel.cpp:3124-3159);
+- block-level data parallelism expressed over a `jax.sharding.Mesh` with
+  ordered, bit-aligned gathering of per-block bitstreams (the reference's
+  host stitch loop, include/OutputStream.hpp:225-239, becomes an associative
+  carry fold).
+
+Layers (see SURVEY.md section 7):
+  format/   -- bitstream format constants, CRC32, bit-level I/O (NumPy)
+  oracle/   -- bit-exact scalar reference codec (NumPy), the test oracle
+  ops/      -- JAX / Pallas kernels for each pipeline stage
+  parallel/ -- mesh construction + shard_map'ed block pipeline
+  runtime/  -- stream orchestration: block scheduler, stitcher, CLI entry
+  utils/    -- timing/metrics helpers
+"""
+
+__version__ = "0.1.0"
+
+from bz2tpu.format import constants  # noqa: F401
