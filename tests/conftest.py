@@ -7,10 +7,16 @@ without TPU hardware. Must be set before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The axon TPU terminal (sitecustomize) force-selects jax_platforms at
+# interpreter startup, overriding the env var; config.update wins it back.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,50 @@
+"""Differential tests: JAX MTF+RLE2 vs the scalar oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from bz2tpu.ops.mtf import mtf_rle2_encode
+from bz2tpu.oracle.encoder import bwt_encode as oracle_bwt, mtf_rle2_encode as oracle_mtf
+
+from conftest import CORPUS_KINDS, make_corpus
+
+
+def _check(arr: np.ndarray, cap: int, chunk: int = 256):
+    last, _ = oracle_bwt(arr)  # realistic input distribution for this stage
+    padded = np.zeros(cap, dtype=np.uint8)
+    padded[: arr.size] = last
+    got = mtf_rle2_encode(jnp.asarray(padded), jnp.int32(arr.size), chunk=chunk)
+    want = oracle_mtf(last)
+    n_sym = int(got["n_sym"])
+    assert n_sym == want.symbols.size
+    np.testing.assert_array_equal(np.asarray(got["symbols"])[:n_sym], want.symbols)
+    assert np.all(np.asarray(got["symbols"])[n_sym:] == -1)
+    np.testing.assert_array_equal(np.asarray(got["used"]), want.used)
+    assert int(got["n_in_use"]) + 2 == want.alpha_size
+    np.testing.assert_array_equal(
+        np.asarray(got["freqs"])[: want.alpha_size], want.freqs
+    )
+    assert np.all(np.asarray(got["freqs"])[want.alpha_size :] == 0)
+
+
+@pytest.mark.parametrize("kind", CORPUS_KINDS)
+@pytest.mark.parametrize("size", [1, 2, 65, 1000, 4093])
+def test_vs_oracle(rng, kind, size):
+    arr = np.frombuffer(make_corpus(rng, kind, size), dtype=np.uint8)
+    _check(arr, cap=4096)
+
+
+def test_chunk_boundaries(rng):
+    # Runs and symbol changes crossing scan-chunk boundaries.
+    arr = np.frombuffer(make_corpus(rng, "runs", 2048), dtype=np.uint8)
+    for chunk in (64, 100, 2048, 4096):
+        _check(arr, cap=2048, chunk=chunk)
+
+
+def test_long_zero_run_digits(rng):
+    # A BWT of all-identical bytes gives one maximal zero run: exercises the
+    # bijective base-2 digit expansion at many lengths.
+    for size in (1, 2, 3, 4, 5, 6, 7, 8, 9, 100, 255, 256, 1000, 2047):
+        arr = np.full(size, 7, dtype=np.uint8)
+        _check(arr, cap=2048)
