@@ -1,0 +1,30 @@
+"""JAX environment knobs.
+
+The 900k-block pipeline is a large XLA graph; first compilation on the TPU
+terminal is minutes. A persistent compilation cache makes that a one-time
+cost per (shape, level) across processes — the analog of the reference
+shipping a prebuilt kernel binary via #define PTX (reference
+include/opencl.hpp:203-205), except the cache is automatic.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DONE = False
+
+
+def setup_compilation_cache(path: str | None = None) -> None:
+    """Enable the persistent XLA compilation cache (idempotent)."""
+    global _DONE
+    if _DONE:
+        return
+    import jax
+
+    cache = path or os.environ.get(
+        "BZ2TPU_CACHE_DIR", os.path.expanduser("~/.cache/bz2tpu_xla")
+    )
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _DONE = True

@@ -1,0 +1,49 @@
+"""Sharded block pipeline over the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bz2tpu.ops.pipeline import encode_blocks
+from bz2tpu.parallel.mesh import block_mesh, encode_blocks_sharded, pad_batch
+
+from conftest import make_corpus
+
+
+def test_pad_batch():
+    assert pad_batch(1, 8) == 8
+    assert pad_batch(8, 8) == 8
+    assert pad_batch(9, 8) == 16
+    assert pad_batch(3, 8, batch_per_shard=2) == 16
+
+
+def test_sharded_matches_single_device(rng):
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "conftest must provide the 8-device CPU mesh"
+    cap = 2048
+    B = 2 * n_dev
+    blocks = np.zeros((B, cap), dtype=np.uint8)
+    ns = np.zeros(B, dtype=np.int32)
+    for i in range(B):
+        d = np.frombuffer(make_corpus(rng, "text", int(rng.integers(64, cap))), np.uint8)
+        blocks[i, : d.size] = d
+        ns[i] = d.size
+    mesh = block_mesh()
+    sharded = encode_blocks_sharded(
+        jnp.asarray(blocks), jnp.asarray(ns), mesh=mesh, mtf_chunk=256
+    )
+    single = encode_blocks(jnp.asarray(blocks), jnp.asarray(ns), mtf_chunk=256)
+    for key in ("orig_ptr", "n_sym", "total_bits", "words"):
+        np.testing.assert_array_equal(np.asarray(sharded[key]), np.asarray(single[key]))
+
+
+def test_graft_entry_dryrun():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+    fn, args = g.entry()
+    out = fn(*args)
+    assert (np.asarray(out["total_bits"]) > 0).all()
