@@ -98,8 +98,20 @@ def crc32_combine(crc_a_state: int, crc_b_state: int, len_b: int) -> int:
 
 
 def crc32(data: bytes | np.ndarray, lanes: int = 256) -> int:
-    """Lane-parallel CRC-32/BZIP2 of `data` (finalized)."""
+    """CRC-32/BZIP2 of `data` (finalized).
+
+    Dispatches to the native C core when built (bz2tpu/native/_bz2dec.c),
+    else the lane-parallel NumPy path below; both are bit-identical to
+    crc32_serial.
+    """
     arr = np.frombuffer(bytes(data), dtype=np.uint8) if not isinstance(data, np.ndarray) else np.ascontiguousarray(data, dtype=np.uint8)
+    try:
+        from bz2tpu import native
+
+        if native.HAVE_NATIVE and arr.size >= 4096:
+            return int(native.crc32(arr.tobytes()))
+    except ImportError:
+        pass
     n = arr.size
     if n == 0:
         return int(_MASK ^ _MASK)  # CRC of empty input: ~init = 0

@@ -1,0 +1,415 @@
+/* bz2tpu native decode core.
+ *
+ * Standalone C implementation of bzip2 stream decoding (and CRC32), the
+ * TPU framework's host-native runtime piece — the counterpart of the
+ * reference's host-side C++ decode stack (reference
+ * include/InputStream.hpp:36-159, include/BlockDecompressor.hpp:37-284,
+ * include/HuffmanStageDecoder.hpp:86-136), written fresh at standard
+ * 100k-900k block scale (the reference rejects real bzip2 streams,
+ * include/BlockDecompressor.hpp:213-215; this decoder accepts all
+ * conformant streams).
+ *
+ * Exposed to Python via the CPython C API (no pybind11 in this image):
+ *   decode_stream(data: bytes, verify_crc: bool = True) -> bytes
+ *   crc32(data: bytes) -> int            (CRC-32/BZIP2, finalized)
+ */
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <stdint.h>
+#include <string.h>
+#include <stdlib.h>
+
+/* ------------------------------------------------------------------ */
+/* CRC-32/BZIP2: poly 0x04C11DB7, MSB-first, init/final 0xFFFFFFFF.    */
+
+static uint32_t crc_table[256];
+
+static void crc_init_table(void) {
+    for (uint32_t i = 0; i < 256; i++) {
+        uint32_t c = i << 24;
+        for (int k = 0; k < 8; k++)
+            c = (c & 0x80000000u) ? (c << 1) ^ 0x04C11DB7u : (c << 1);
+        crc_table[i] = c;
+    }
+}
+
+static uint32_t crc_update(uint32_t s, const uint8_t *p, size_t n) {
+    for (size_t i = 0; i < n; i++)
+        s = (s << 8) ^ crc_table[(s >> 24) ^ p[i]];
+    return s;
+}
+
+/* ------------------------------------------------------------------ */
+/* MSB-first bit reader.                                               */
+
+typedef struct {
+    const uint8_t *data;
+    size_t nbytes;
+    size_t pos; /* bit position */
+} BitReader;
+
+static int br_read(BitReader *br, int nbits, uint32_t *out) {
+    if (br->pos + (size_t)nbits > br->nbytes * 8) return -1;
+    uint32_t v = 0;
+    size_t pos = br->pos;
+    int need = nbits;
+    while (need > 0) {
+        uint32_t byte = br->data[pos >> 3];
+        int avail = 8 - (int)(pos & 7);
+        int take = avail < need ? avail : need;
+        v = (v << take) | ((byte >> (avail - take)) & ((1u << take) - 1u));
+        pos += (size_t)take;
+        need -= take;
+    }
+    br->pos = pos;
+    *out = v;
+    return 0;
+}
+
+/* 48-bit read for block/stream markers. */
+static int br_read48(BitReader *br, uint64_t *out) {
+    uint32_t hi, lo;
+    if (br_read(br, 24, &hi) || br_read(br, 24, &lo)) return -1;
+    *out = ((uint64_t)hi << 24) | lo;
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* Growable output buffer.                                             */
+
+typedef struct {
+    uint8_t *buf;
+    size_t len, capy;
+} Vec;
+
+static int vec_reserve(Vec *v, size_t extra) {
+    if (v->len + extra <= v->capy) return 0;
+    size_t nc = v->capy ? v->capy : 1 << 20;
+    while (nc < v->len + extra) nc *= 2;
+    uint8_t *nb = (uint8_t *)realloc(v->buf, nc);
+    if (!nb) return -1;
+    v->buf = nb;
+    v->capy = nc;
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* Format constants (standard bzip2 scale).                            */
+
+#define MAX_ALPHA 258
+#define MAX_GROUPS 6
+#define GROUP_SIZE 50
+#define MAX_CODE_LEN 23
+#define MAX_ACCEPT_LEN 20
+#define BLOCK_HEADER 0x314159265359ULL
+#define STREAM_END 0x177245385090ULL
+
+typedef struct {
+    int32_t limit[MAX_CODE_LEN + 2];
+    int32_t base[MAX_CODE_LEN + 2];
+    uint16_t perm[MAX_ALPHA];
+    int min_len;
+} HuffTable;
+
+static const char *build_table(const uint8_t *lengths, int alpha, HuffTable *t) {
+    int min_l = 32, max_l = 0;
+    for (int i = 0; i < alpha; i++) {
+        if (lengths[i] < min_l) min_l = lengths[i];
+        if (lengths[i] > max_l) max_l = lengths[i];
+    }
+    if (min_l < 1 || max_l > MAX_ACCEPT_LEN) return "invalid code length range";
+    t->min_len = min_l;
+    /* stable counting sort of symbols by length */
+    int count[MAX_CODE_LEN + 2] = {0};
+    for (int i = 0; i < alpha; i++) count[lengths[i]]++;
+    int pos[MAX_CODE_LEN + 2];
+    int acc = 0;
+    for (int l = 0; l <= MAX_CODE_LEN + 1; l++) { pos[l] = acc; acc += count[l]; }
+    for (int i = 0; i < alpha; i++) t->perm[pos[lengths[i]]++] = (uint16_t)i;
+
+    int32_t vec = 0, total = 0;
+    for (int l = 0; l <= MAX_CODE_LEN + 1; l++) t->limit[l] = INT32_MAX;
+    for (int bits = min_l; bits <= max_l; bits++) {
+        t->base[bits] = vec - total;
+        vec += count[bits];
+        total += count[bits];
+        t->limit[bits] = vec - 1;
+        vec <<= 1;
+    }
+    return NULL;
+}
+
+/* ------------------------------------------------------------------ */
+/* Block + stream decode.                                              */
+
+typedef struct {
+    const char *err;   /* static error message, NULL = ok */
+    int crc_mismatch;  /* raise CRC-specific error */
+} DecErr;
+
+static int decode_one_block(
+    BitReader *br, int max_block, int verify_crc,
+    uint32_t *stream_crc, Vec *out, DecErr *e,
+    /* scratch, reused across blocks: */
+    uint8_t *bwt, int32_t *tvec)
+{
+    uint32_t stored_crc, randomised, orig_ptr;
+    if (br_read(br, 32, &stored_crc) || br_read(br, 1, &randomised) ||
+        br_read(br, 24, &orig_ptr)) { e->err = "truncated block header"; return -1; }
+    if (randomised) { e->err = "randomised blocks are not supported"; return -1; }
+
+    /* symbol map */
+    uint32_t ranges;
+    uint8_t used_bytes[256];
+    int n_in_use = 0;
+    if (br_read(br, 16, &ranges)) { e->err = "truncated symbol map"; return -1; }
+    for (int i = 0; i < 16; i++) {
+        if (ranges & (0x8000u >> i)) {
+            uint32_t bits;
+            if (br_read(br, 16, &bits)) { e->err = "truncated symbol map"; return -1; }
+            for (int j = 0; j < 16; j++)
+                if (bits & (0x8000u >> j)) used_bytes[n_in_use++] = (uint8_t)(16 * i + j);
+        }
+    }
+    if (n_in_use == 0) { e->err = "empty symbol map"; return -1; }
+    int alpha = n_in_use + 2;
+
+    uint32_t n_groups, n_selectors;
+    if (br_read(br, 3, &n_groups) || br_read(br, 15, &n_selectors)) {
+        e->err = "truncated table header"; return -1;
+    }
+    if (n_groups < 2 || n_groups > MAX_GROUPS) { e->err = "bad table count"; return -1; }
+    if (n_selectors < 1) { e->err = "no selectors"; return -1; }
+
+    /* selectors: unary MTF over table list */
+    uint8_t *selectors = (uint8_t *)malloc(n_selectors);
+    if (!selectors) { e->err = "out of memory"; return -1; }
+    {
+        uint8_t mtf[MAX_GROUPS];
+        for (uint32_t i = 0; i < n_groups; i++) mtf[i] = (uint8_t)i;
+        for (uint32_t s = 0; s < n_selectors; s++) {
+            uint32_t j = 0, bit;
+            for (;;) {
+                if (br_read(br, 1, &bit)) { free(selectors); e->err = "truncated selectors"; return -1; }
+                if (!bit) break;
+                j++;
+            }
+            if (j >= n_groups) { free(selectors); e->err = "selector out of range"; return -1; }
+            uint8_t v = mtf[j];
+            memmove(mtf + 1, mtf, j);
+            mtf[0] = v;
+            selectors[s] = v;
+        }
+    }
+
+    /* delta-coded code lengths + canonical tables */
+    HuffTable tables[MAX_GROUPS];
+    for (uint32_t t = 0; t < n_groups; t++) {
+        uint8_t lens[MAX_ALPHA];
+        uint32_t cur;
+        if (br_read(br, 5, &cur)) { free(selectors); e->err = "truncated tables"; return -1; }
+        for (int v = 0; v < alpha; v++) {
+            for (;;) {
+                uint32_t more;
+                if (br_read(br, 1, &more)) { free(selectors); e->err = "truncated tables"; return -1; }
+                if (!more) break;
+                uint32_t dec;
+                if (br_read(br, 1, &dec)) { free(selectors); e->err = "truncated tables"; return -1; }
+                cur += dec ? (uint32_t)-1 : 1u;
+            }
+            if (cur < 1 || cur > MAX_ACCEPT_LEN) { free(selectors); e->err = "code length out of range"; return -1; }
+            lens[v] = (uint8_t)cur;
+        }
+        const char *err = build_table(lens, alpha, &tables[t]);
+        if (err) { free(selectors); e->err = err; return -1; }
+    }
+
+    /* Huffman data -> RUNA/RUNB runs -> inverse MTF -> BWT last column */
+    int eob = alpha - 1;
+    uint8_t mtf_list[256];
+    memcpy(mtf_list, used_bytes, (size_t)n_in_use);
+    int n_bwt = 0;
+    int64_t run = 0;
+    int run_bit = 0;
+    uint32_t group = 0, gcount = 0;
+    HuffTable *tb = NULL;
+    int32_t byte_count[256] = {0};
+    for (;;) {
+        if (gcount == 0) {
+            if (group >= n_selectors) { free(selectors); e->err = "ran out of selectors"; return -1; }
+            tb = &tables[selectors[group++]];
+            gcount = GROUP_SIZE;
+        }
+        gcount--;
+        int bits = tb->min_len;
+        uint32_t code;
+        if (br_read(br, bits, &code)) { free(selectors); e->err = "truncated block data"; return -1; }
+        while ((int32_t)code > tb->limit[bits]) {
+            uint32_t b;
+            if (br_read(br, 1, &b)) { free(selectors); e->err = "truncated block data"; return -1; }
+            code = (code << 1) | b;
+            if (++bits > MAX_ACCEPT_LEN) { free(selectors); e->err = "invalid Huffman code"; return -1; }
+        }
+        int sym = tb->perm[(int32_t)code - tb->base[bits]];
+        if (sym <= 1) { /* RUNA=0 / RUNB=1 */
+            run += (int64_t)(sym + 1) << run_bit;
+            run_bit++;
+            continue;
+        }
+        if (run > 0) {
+            if (n_bwt + run > max_block) { free(selectors); e->err = "block exceeds declared block size"; return -1; }
+            memset(bwt + n_bwt, mtf_list[0], (size_t)run);
+            byte_count[mtf_list[0]] += (int32_t)run;
+            n_bwt += (int)run;
+            run = 0;
+            run_bit = 0;
+        }
+        if (sym == eob) break;
+        /* inverse MTF for index sym-1 >= 1 */
+        int j = sym - 1;
+        uint8_t v = mtf_list[j];
+        memmove(mtf_list + 1, mtf_list, (size_t)j);
+        mtf_list[0] = v;
+        if (n_bwt >= max_block) { free(selectors); e->err = "block exceeds declared block size"; return -1; }
+        bwt[n_bwt++] = v;
+        byte_count[v]++;
+    }
+    free(selectors);
+    if ((int)orig_ptr >= n_bwt) { e->err = "origin pointer out of range"; return -1; }
+
+    /* inverse BWT: stable counting order, then the T-vector walk */
+    int32_t starts[256];
+    {
+        int32_t acc = 0;
+        for (int b = 0; b < 256; b++) { starts[b] = acc; acc += byte_count[b]; }
+    }
+    for (int i = 0; i < n_bwt; i++) tvec[starts[bwt[i]]++] = i;
+
+    /* walk + inverse RLE1 + CRC, streaming */
+    uint32_t crc = 0xFFFFFFFFu;
+    if (vec_reserve(out, (size_t)n_bwt)) { e->err = "out of memory"; return -1; }
+    int32_t p = tvec[orig_ptr];
+    uint8_t prev = 0;
+    int run_count = 0;
+    for (int i = 0; i < n_bwt; i++) {
+        uint8_t c = bwt[p];
+        p = tvec[p];
+        if (run_count == 4) {
+            /* c is a count byte: emit c more copies of prev */
+            if (c) {
+                if (vec_reserve(out, (size_t)c)) { e->err = "out of memory"; return -1; }
+                memset(out->buf + out->len, prev, c);
+                out->len += c;
+                if (verify_crc)
+                    for (int k = 0; k < (int)c; k++)
+                        crc = (crc << 8) ^ crc_table[(crc >> 24) ^ prev];
+            }
+            run_count = 0;
+            continue;
+        }
+        if (c == prev) run_count++;
+        else { run_count = 1; prev = c; }
+        if (vec_reserve(out, 1)) { e->err = "out of memory"; return -1; }
+        out->buf[out->len++] = c;
+        if (verify_crc) crc = (crc << 8) ^ crc_table[(crc >> 24) ^ c];
+    }
+    crc ^= 0xFFFFFFFFu;
+    if (verify_crc && crc != stored_crc) { e->crc_mismatch = 1; e->err = "block CRC mismatch"; return -1; }
+    *stream_crc = ((*stream_crc << 1) | (*stream_crc >> 31)) ^ stored_crc;
+    return 0;
+}
+
+static PyObject *CrcError;
+
+static PyObject *py_decode_stream(PyObject *self, PyObject *args, PyObject *kwargs) {
+    static char *kwlist[] = {"data", "verify_crc", NULL};
+    Py_buffer view;
+    int verify_crc = 1;
+    if (!PyArg_ParseTupleAndKeywords(args, kwargs, "y*|p", kwlist, &view, &verify_crc))
+        return NULL;
+
+    BitReader br = {(const uint8_t *)view.buf, (size_t)view.len, 0};
+    Vec out = {NULL, 0, 0};
+    uint8_t *bwt = NULL;
+    int32_t *tvec = NULL;
+    DecErr e = {NULL, 0};
+
+    uint32_t magic, level_ch;
+    if (br_read(&br, 24, &magic) || magic != 0x425A68u) { e.err = "bad stream magic (expected BZh)"; goto fail; }
+    if (br_read(&br, 8, &level_ch)) { e.err = "truncated header"; goto fail; }
+    int level = (int)level_ch - '0';
+    if (level < 1 || level > 9) { e.err = "bad block-size level"; goto fail; }
+    int max_block = level * 100000;
+    bwt = (uint8_t *)malloc((size_t)max_block);
+    tvec = (int32_t *)malloc(sizeof(int32_t) * (size_t)max_block);
+    if (!bwt || !tvec) { e.err = "out of memory"; goto fail; }
+
+    uint32_t stream_crc = 0;
+    for (;;) {
+        uint64_t marker;
+        if (br_read48(&br, &marker)) { e.err = "truncated stream"; goto fail; }
+        if (marker == STREAM_END) {
+            uint32_t stored;
+            if (br_read(&br, 32, &stored)) { e.err = "truncated stream CRC"; goto fail; }
+            if (verify_crc && stored != stream_crc) { e.crc_mismatch = 1; e.err = "stream CRC mismatch"; goto fail; }
+            break;
+        }
+        if (marker != BLOCK_HEADER) { e.err = "bad block marker"; goto fail; }
+        Py_BEGIN_ALLOW_THREADS
+        decode_one_block(&br, max_block, verify_crc, &stream_crc, &out, &e, bwt, tvec);
+        Py_END_ALLOW_THREADS
+        if (e.err) goto fail;
+    }
+
+    free(bwt);
+    free(tvec);
+    PyBuffer_Release(&view);
+    PyObject *res = PyBytes_FromStringAndSize((const char *)out.buf, (Py_ssize_t)out.len);
+    free(out.buf);
+    return res;
+
+fail:
+    free(bwt);
+    free(tvec);
+    free(out.buf);
+    PyBuffer_Release(&view);
+    PyErr_SetString(e.crc_mismatch ? CrcError : PyExc_ValueError, e.err);
+    return NULL;
+}
+
+static PyObject *py_crc32(PyObject *self, PyObject *args) {
+    Py_buffer view;
+    if (!PyArg_ParseTuple(args, "y*", &view)) return NULL;
+    uint32_t s = 0xFFFFFFFFu;
+    Py_BEGIN_ALLOW_THREADS
+    s = crc_update(s, (const uint8_t *)view.buf, (size_t)view.len);
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&view);
+    return PyLong_FromUnsignedLong(s ^ 0xFFFFFFFFu);
+}
+
+static PyMethodDef methods[] = {
+    {"decode_stream", (PyCFunction)py_decode_stream, METH_VARARGS | METH_KEYWORDS,
+     "Decode a .bz2 stream to bytes (raises ValueError / CrcError)."},
+    {"crc32", py_crc32, METH_VARARGS, "CRC-32/BZIP2 of a buffer (finalized)."},
+    {NULL, NULL, 0, NULL},
+};
+
+static struct PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "_bz2dec", "bz2tpu native decode core", -1, methods,
+};
+
+PyMODINIT_FUNC PyInit__bz2dec(void) {
+    crc_init_table();
+    PyObject *m = PyModule_Create(&moduledef);
+    if (!m) return NULL;
+    CrcError = PyErr_NewException("_bz2dec.CrcError", PyExc_ValueError, NULL);
+    Py_XINCREF(CrcError);
+    if (PyModule_AddObject(m, "CrcError", CrcError) < 0) {
+        Py_XDECREF(CrcError);
+        Py_DECREF(m);
+        return NULL;
+    }
+    return m;
+}

@@ -1,0 +1,70 @@
+"""Native (C) decoder: differential vs stdlib bz2 and the NumPy decoder."""
+
+import bz2 as stdlib_bz2
+
+import numpy as np
+import pytest
+
+from bz2tpu import native
+from bz2tpu.format.crc32 import crc32_serial
+from bz2tpu.oracle import compress as oracle_compress
+from bz2tpu.runtime.decompressor import Bz2CrcError, Bz2FormatError, decompress
+
+from conftest import CORPUS_KINDS, make_corpus
+
+pytestmark = pytest.mark.skipif(not native.HAVE_NATIVE, reason="extension not built")
+
+
+@pytest.mark.parametrize("kind", CORPUS_KINDS)
+def test_decodes_stock_streams(rng, kind):
+    data = make_corpus(rng, kind, 300_000)
+    for level in (1, 9):
+        assert native.decode_stream(stdlib_bz2.compress(data, level)) == data
+
+
+@pytest.mark.parametrize("kind", ["text", "runs"])
+def test_decodes_our_streams(rng, kind):
+    data = make_corpus(rng, kind, 150_000)
+    assert native.decode_stream(oracle_compress(data, level=1)) == data
+
+
+def test_empty_and_tiny():
+    assert native.decode_stream(stdlib_bz2.compress(b"")) == b""
+    assert native.decode_stream(stdlib_bz2.compress(b"x")) == b"x"
+
+
+def test_crc32_matches_serial(rng):
+    for size in (0, 1, 100, 65537):
+        data = make_corpus(rng, "random", size)
+        assert native.crc32(data) == crc32_serial(data)
+
+
+def test_corruption_raises(rng):
+    data = make_corpus(rng, "text", 50_000)
+    comp = bytearray(stdlib_bz2.compress(data, 1))
+    comp[len(comp) // 2] ^= 0x40
+    with pytest.raises(ValueError):
+        native.decode_stream(bytes(comp))
+
+
+def test_crc_error_type(rng):
+    # Flip a bit in the stored block CRC field (bit offset 32+48 = byte 10).
+    data = make_corpus(rng, "text", 50_000)
+    comp = bytearray(oracle_compress(data, level=1))
+    comp[10] ^= 0x01
+    with pytest.raises(Bz2CrcError):
+        decompress(bytes(comp))
+    with pytest.raises((Bz2FormatError, Bz2CrcError)):
+        decompress(b"BZh9" + b"\x00" * 20)
+
+
+def test_truncated_stream_raises(rng):
+    data = make_corpus(rng, "text", 50_000)
+    comp = stdlib_bz2.compress(data, 1)
+    with pytest.raises(ValueError):
+        native.decode_stream(comp[: len(comp) // 2])
+
+
+def test_driver_uses_native(rng):
+    data = make_corpus(rng, "zeros", 100_000)
+    assert decompress(stdlib_bz2.compress(data, 1)) == data
