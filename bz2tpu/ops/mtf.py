@@ -2,23 +2,27 @@
 
 The reference runs move-to-front as a strictly sequential 256-entry list
 update per BWT byte inside each work-item (reference kernel.cpp:2514-2649).
-That recurrence vectorizes via the recency identity:
+That recurrence vectorizes via two observations:
 
-    MTF rank of symbol s at position i
-      = #{symbols u : last occurrence of u before i  >  last occurrence of
-         s before i}
+1. **Recency identity.** MTF rank of symbol s at position i equals the
+   number of symbols whose last occurrence before i is later than s's last
+   occurrence before i (never-seen symbols get virtual occurrence times
+   -(dense(u)+1), reproducing the initial list order). Last-occurrence
+   times for all 256 dense symbols are a running cummax over one-hot
+   position times, computed chunk-by-chunk with a carried 256-lane maximum.
 
-with never-seen symbols given virtual occurrence times -(dense(u)+1), which
-reproduces the initial MTF list order [0, 1, 2, ...]. Last-occurrence times
-for all 256 dense symbols are a running cummax over one-hot position times,
-computed chunk-by-chunk under lax.scan: each chunk does a (T, 256)
-vectorized cummax (VPU-friendly) and carries a 256-lane running maximum.
+2. **Run collapsing.** rank_i == 0 iff seq[i] == seq[i-1], and repeats do
+   not change the MTF list (the symbol is already at the front). So the
+   dense (chunk, 256) work only needs the *run-collapsed* sequence — for
+   BWT output (long symbol clusters) that is typically 3-10x shorter. The
+   chunk loop is a lax.while_loop whose trip count tracks the collapsed
+   length, so compute scales with data entropy, not block capacity.
 
-RLE2 (zero-run RUNA/RUNB coding, reference kernel.cpp:2612-2640) follows in
-closed form: a zero-run of length z emits m = floor(log2(z+1)) digits, and
-digit k is bit k of (z+1) (bijective base 2) — so runs are located with a
-run-start mask, their lengths with a segment sum, and all digits scattered
-in parallel. No sequential state remains anywhere in the stage.
+RLE2 (zero-run RUNA/RUNB coding, reference kernel.cpp:2612-2640) is closed
+form in the collapsed domain: the zero run preceding collapsed position k
+has length gap_k = i_k - i_{k-1} - 1, a run of length z emits
+m = floor(log2(z+1)) digits, and digit t is bit t of (z+1) (bijective
+base 2). All digits scatter in parallel; no sequential state remains.
 """
 
 from __future__ import annotations
@@ -33,11 +37,11 @@ _NEG = jnp.int32(-(1 << 30))
 _MAX_RUN_DIGITS = 21  # floor(log2(900_001 + 1)) = 19; margin for any capacity
 
 
-def _mtf_ranks(seq: jnp.ndarray, n_in_use: jnp.ndarray, chunk: int) -> jnp.ndarray:
-    """MTF rank per position for a dense symbol sequence.
+def _mtf_ranks_collapsed(seq: jnp.ndarray, m: jnp.ndarray, n_in_use: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """MTF ranks for a run-collapsed dense symbol sequence.
 
-    seq: (cap,) int32, dense symbols in [0, n_in_use), -1 for padding.
-    Returns (cap,) int32 ranks (garbage at padding positions).
+    seq: (cap,) int32 dense symbols, adjacent entries distinct, -1 padding
+    beyond ``m``. Returns (cap,) int32 ranks (garbage at padding).
     """
     cap = seq.shape[0]
     pad = (-cap) % chunk
@@ -46,34 +50,37 @@ def _mtf_ranks(seq: jnp.ndarray, n_in_use: jnp.ndarray, chunk: int) -> jnp.ndarr
     chunks = seqp.reshape(n_chunks, chunk)
 
     lanes = jnp.arange(256, dtype=jnp.int32)
-    # Virtual initial occurrence times reproduce the list order 0..n_in_use-1
-    # (dense symbol 0 "most recent"); unused lanes can never win a recency
-    # comparison.
     carry0 = jnp.where(lanes < n_in_use, -(lanes + 1), _NEG)
-
     t_local = jnp.arange(chunk, dtype=jnp.int32)
+    ranks0 = jnp.zeros((n_chunks, chunk), jnp.int32)
 
-    def body(carry, inp):
-        seq_c, base = inp
-        times = base + t_local
+    def chunk_body(c, carry, ranks):
+        seq_c = chunks[c]
+        times = c * chunk + t_local
         onehot_t = jnp.where(seq_c[:, None] == lanes[None, :], times[:, None], _NEG)
         incl = lax.cummax(onehot_t, axis=0)
-        # Exclusive: last occurrence strictly before each position.
         excl = jnp.concatenate([jnp.full((1, 256), _NEG, jnp.int32), incl[:-1]], axis=0)
         last = jnp.maximum(carry[None, :], excl)
         self_idx = jnp.clip(seq_c, 0, 255)
         last_self = jnp.take_along_axis(last, self_idx[:, None], axis=1)
-        ranks = jnp.sum((last > last_self).astype(jnp.int32), axis=1)
-        new_carry = jnp.maximum(carry, incl[-1])
-        return new_carry, ranks
+        r = jnp.sum((last > last_self).astype(jnp.int32), axis=1)
+        return jnp.maximum(carry, incl[-1]), ranks.at[c].set(r)
 
-    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    _, ranks = lax.scan(body, carry0, (chunks, bases))
+    def cond(state):
+        c, _, _ = state
+        return c * chunk < m
+
+    def body(state):
+        c, carry, ranks = state
+        carry, ranks = chunk_body(c, carry, ranks)
+        return c + 1, carry, ranks
+
+    _, _, ranks = lax.while_loop(cond, body, (jnp.int32(0), carry0, ranks0))
     return ranks.reshape(-1)[:cap]
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def mtf_rle2_encode(last: jnp.ndarray, n: jnp.ndarray, *, chunk: int = 2048):
+def mtf_rle2_encode(last: jnp.ndarray, n: jnp.ndarray, *, chunk: int = 8192):
     """MTF + RLE2 encode the BWT last column.
 
     Args:
@@ -82,8 +89,7 @@ def mtf_rle2_encode(last: jnp.ndarray, n: jnp.ndarray, *, chunk: int = 2048):
 
     Returns dict with:
       symbols: (cap + 2,) int32 — MTF/RLE2 symbol stream (RUNA=0, RUNB=1,
-        value j -> j+1, EOB=n_in_use+1), -1 padding; slot cap+1 is a
-        scatter trash slot and always -1... n_sym entries are valid.
+        value j -> j+1, EOB=n_in_use+1), -1 padding; n_sym entries valid.
       n_sym: scalar int32 — number of symbols incl. EOB.
       used: (256,) bool — byte-presence map.
       n_in_use: scalar int32.
@@ -100,38 +106,79 @@ def mtf_rle2_encode(last: jnp.ndarray, n: jnp.ndarray, *, chunk: int = 2048):
     dense = jnp.cumsum(used.astype(jnp.int32)) - 1
     seq = jnp.where(valid, dense[lasti], -1)
 
-    ranks = _mtf_ranks(seq, n_in_use, chunk)
+    # --- collapse runs: keep only change positions ---
+    prev = jnp.concatenate([jnp.full((1,), -2, jnp.int32), seq[:-1]])
+    change = valid & (seq != prev)
+    cpos = jnp.cumsum(change.astype(jnp.int32)) - 1  # collapsed index per change
+    m = jnp.sum(change.astype(jnp.int32))  # collapsed length
+    trash = cap  # scatter trash slot
+    cseq = jnp.full(cap + 1, -1, jnp.int32).at[
+        jnp.where(change, cpos, trash)
+    ].set(jnp.where(change, seq, -1))[:cap]
+    cidx = jnp.full(cap + 1, 0, jnp.int32).at[
+        jnp.where(change, cpos, trash)
+    ].set(jnp.where(change, iota, 0))[:cap]
 
-    is_z = valid & (ranks == 0)
-    prev_z = jnp.concatenate([jnp.zeros((1,), jnp.bool_), is_z[:-1]])
-    run_start = is_z & ~prev_z
-    run_id = jnp.cumsum(run_start.astype(jnp.int32)) - 1  # >=0 at zero positions
-    run_len = jnp.zeros(cap, jnp.int32).at[jnp.clip(run_id, 0, cap - 1)].add(
-        is_z.astype(jnp.int32)
+    cranks = _mtf_ranks_collapsed(cseq, m, n_in_use, chunk)
+
+    # --- RLE2 in the collapsed domain ---
+    k_iota = jnp.arange(cap, dtype=jnp.int32)
+    k_valid = k_iota < m
+    # Zero run ending just before collapsed position k (repeats of the
+    # previous symbol); collapsed position 0 with rank 0 (symbol already at
+    # the list front) prepends one more zero to the run it starts.
+    prev_idx = jnp.concatenate([jnp.zeros((1,), jnp.int32), cidx[:-1]])
+    gap = jnp.where(k_iota > 0, cidx - prev_idx - 1, 0)
+    r0_zero = cranks[0] == 0
+    # Trailing repeats after the last change position.
+    tail_gap = jnp.where(m > 0, n - 1 - cidx[jnp.maximum(m - 1, 0)], 0)
+
+    # Each collapsed position k emits: digits(gap'_k) then (rank_k + 1),
+    # where gap'_1 absorbs position 0 when r0_zero (and position 0 then
+    # emits nothing). A virtual terminal slot k == m emits digits of the
+    # trailing run. Emission counts:
+    gap_eff = jnp.where((k_iota == 1) & r0_zero, gap + 1, gap)
+    zp1 = jnp.where(k_valid & (gap_eff > 0), gap_eff + 1, 2)
+    mdig = jnp.where(
+        k_valid & (gap_eff > 0),
+        jnp.floor(jnp.log2(zp1.astype(jnp.float32))).astype(jnp.int32),
+        0,
     )
-    # Length of the run starting at each run-start position.
-    z_here = run_len[jnp.clip(run_id, 0, cap - 1)]
-    zp1 = jnp.where(run_start, z_here + 1, 2)
-    m = jnp.floor(jnp.log2(zp1.astype(jnp.float32))).astype(jnp.int32)  # digits
-
-    emit = jnp.where(run_start, m, jnp.where(valid & (ranks > 0), 1, 0))
+    sym_here = k_valid & ~((k_iota == 0) & r0_zero)
+    emit = mdig + sym_here.astype(jnp.int32)
+    # Terminal slot: trailing-run digits + EOB, handled after the scatter.
     offsets = jnp.cumsum(emit) - emit
     total = offsets[-1] + emit[-1]
-    n_sym = total + 1  # + EOB
-    eob = n_in_use + 1
 
     out = jnp.full(cap + 2, -1, jnp.int32)
-    trash = cap + 1
-    # Non-zero MTF ranks: symbol rank+1.
-    nz = valid & (ranks > 0) & ~run_start
-    out = out.at[jnp.where(nz, offsets, trash)].set(jnp.where(nz, ranks + 1, -1))
-    # Zero-run digits: digit k of a run is bit k of (z+1), RUNA=0 / RUNB=1.
-    for k in range(_MAX_RUN_DIGITS):
-        sel = run_start & (k < m)
-        digit = (zp1 >> k) & 1
-        out = out.at[jnp.where(sel, offsets + k, trash)].set(jnp.where(sel, digit, -1))
-    out = out.at[total].set(eob)
-    out = out.at[trash].set(-1)
+    otrash = cap + 1
+    # Run digits for each collapsed position.
+    for t in range(_MAX_RUN_DIGITS):
+        sel = t < mdig
+        digit = (zp1 >> t) & 1
+        out = out.at[jnp.where(sel, offsets + t, otrash)].set(
+            jnp.where(sel, digit, -1)
+        )
+    # The symbol itself (rank+1) after its run digits.
+    out = out.at[jnp.where(sym_here, offsets + mdig, otrash)].set(
+        jnp.where(sym_here, cranks + 1, -1)
+    )
+    # Trailing run digits + EOB at the end. r0_zero with m == 1 means the
+    # whole block is one symbol: the run is tail_gap + 1 zeros (position 0
+    # included) and no symbol was ever emitted.
+    tz = jnp.where((m == 1) & r0_zero, tail_gap + 1, tail_gap)
+    tzp1 = jnp.where(tz > 0, tz + 1, 2)
+    tdig = jnp.where(tz > 0, jnp.floor(jnp.log2(tzp1.astype(jnp.float32))).astype(jnp.int32), 0)
+    for t in range(_MAX_RUN_DIGITS):
+        sel = t < tdig
+        digit = (tzp1 >> t) & 1
+        out = out.at[jnp.where(sel, total + t, otrash)].set(
+            jnp.where(sel, digit, -1)
+        )
+    eob = n_in_use + 1
+    n_sym = total + tdig + 1
+    out = out.at[total + tdig].set(eob)
+    out = out.at[otrash].set(-1)
 
     sym_valid = out >= 0
     freqs = jnp.zeros(258, jnp.int32).at[jnp.clip(out, 0, 257)].add(
