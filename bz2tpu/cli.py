@@ -4,10 +4,14 @@ Parity with the reference CLI (app.cpp:31-179): compress by default,
 --dec / --check / --keep / --size 1-9 / --parallel N. Differences by design:
 - input files are NOT deleted unless --rm is given (the reference deletes by
   default, app.cpp:119-121 — a footgun we do not replicate);
-- --backend picks the engine: "tpu" (JAX pipeline, default when available)
-  or "oracle" (pure NumPy reference codec);
+- --backend picks the engine: "tpu" (JAX pipeline, default) or "oracle"
+  (pure NumPy reference codec);
+- file inputs stream with bounded memory (reference app.cpp:105-116 reads
+  128 KiB chunks; we read block-batch-sized chunks);
 - standard bzip2 block sizes (level N = N*100k), so output interoperates
-  with stock bzip2 both ways.
+  with stock bzip2 both ways;
+- --banner prints device discovery info (reference print_device_info,
+  include/opencl.hpp:87-107), --metrics a structured JSON metrics line.
 """
 
 from __future__ import annotations
@@ -15,7 +19,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -36,21 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", choices=["tpu", "oracle"], default="tpu")
     p.add_argument("-o", "--output", help="output path (default: input+.bz2 / strip .bz2)")
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--metrics", action="store_true", help="print JSON metrics to stderr")
+    p.add_argument("--banner", action="store_true", help="print device info to stderr")
     return p
-
-
-def _engine(backend: str, level: int, parallel: int):
-    if backend == "oracle":
-        from bz2tpu.oracle import compress, decompress
-
-        return (lambda d: compress(d, level=level)), decompress
-    from bz2tpu.runtime.compressor import compress as tpu_compress
-    from bz2tpu.runtime.decompressor import decompress as tpu_decompress
-
-    return (
-        lambda d: tpu_compress(d, level=level, parallel=parallel or None),
-        tpu_decompress,
-    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -59,47 +50,86 @@ def main(argv: list[str] | None = None) -> int:
         print("error: --size must be 1..9", file=sys.stderr)
         return 2
 
-    compress, decompress = _engine(args.backend, args.size, args.parallel)
+    from bz2tpu.utils.metrics import Clock, RunMetrics
+
+    if args.banner and args.backend == "tpu":
+        from bz2tpu.utils.device import print_device_banner
+
+        print_device_banner()
 
     use_stdio = args.file == "-"
-    if use_stdio:
-        data = sys.stdin.buffer.read()
-    else:
-        if not os.path.exists(args.file):
-            print(f"error: no such file: {args.file}", file=sys.stderr)
-            return 2
-        with open(args.file, "rb") as f:
-            data = f.read()
+    if not use_stdio and not os.path.exists(args.file):
+        print(f"error: no such file: {args.file}", file=sys.stderr)
+        return 2
 
-    t0 = time.perf_counter()
+    metrics = RunMetrics(level=args.size)
+    clock = Clock()
     try:
         if args.dec or args.check:
+            metrics.op = "check" if args.check else "decompress"
+            data = sys.stdin.buffer.read() if use_stdio else open(args.file, "rb").read()
+            if args.backend == "oracle":
+                from bz2tpu.oracle import decompress
+            else:
+                from bz2tpu.runtime.decompressor import decompress
             result = decompress(data)
+            metrics.input_bytes, metrics.output_bytes = len(data), len(result)
             if args.check:
+                metrics.seconds = clock.elapsed()
+                if args.metrics:
+                    print(metrics.to_json(), file=sys.stderr)
                 print("Integrity check passed!")
                 return 0
             out_path = args.output or (
                 args.file[:-4] if args.file.endswith(".bz2") else args.file + ".out"
             )
+            if use_stdio:
+                sys.stdout.buffer.write(result)
+            else:
+                with open(out_path, "wb") as f:
+                    f.write(result)
         else:
-            result = compress(data)
+            metrics.op = "compress"
             out_path = args.output or (args.file + ".bz2")
+            if args.backend == "oracle":
+                from bz2tpu.oracle import compress
+
+                data = sys.stdin.buffer.read() if use_stdio else open(args.file, "rb").read()
+                result = compress(data, level=args.size)
+                metrics.input_bytes, metrics.output_bytes = len(data), len(result)
+                if use_stdio:
+                    sys.stdout.buffer.write(result)
+                else:
+                    with open(out_path, "wb") as f:
+                        f.write(result)
+            elif use_stdio:
+                from bz2tpu.runtime.compressor import compress
+
+                data = sys.stdin.buffer.read()
+                result = compress(data, level=args.size, parallel=args.parallel or None)
+                metrics.input_bytes, metrics.output_bytes = len(data), len(result)
+                sys.stdout.buffer.write(result)
+            else:
+                from bz2tpu.runtime.stream import compress_file
+
+                compress_file(
+                    args.file, out_path,
+                    level=args.size, parallel=args.parallel or None, metrics=metrics,
+                )
+                metrics.input_bytes = os.path.getsize(args.file)
+                metrics.output_bytes = os.path.getsize(out_path)
     except Exception as e:  # noqa: BLE001 — CLI boundary
         print(f"error: {e}", file=sys.stderr)
         return 1
-    dt = time.perf_counter() - t0
+    metrics.seconds = clock.elapsed()
 
-    if use_stdio:
-        sys.stdout.buffer.write(result)
-    else:
-        with open(out_path, "wb") as f:
-            f.write(result)
+    if args.metrics:
+        print(metrics.to_json(), file=sys.stderr)
     if args.verbose:
-        mb = len(data) / 1e6
         print(
-            f"{len(data)} -> {len(result)} bytes "
-            f"({len(result) / max(len(data), 1):.3f}) in {dt:.3f}s "
-            f"({mb / max(dt, 1e-9):.1f} MB/s)",
+            f"{metrics.input_bytes} -> {metrics.output_bytes} bytes "
+            f"({metrics.ratio:.3f}) in {metrics.seconds:.3f}s "
+            f"({metrics.mb_per_s:.1f} MB/s)",
             file=sys.stderr,
         )
     if args.rm and not use_stdio:

@@ -15,9 +15,11 @@ try:  # pragma: no cover - exercised via the public wrappers
     HAVE_NATIVE = True
     decode_stream = _impl.decode_stream
     crc32 = _impl.crc32
+    rle1_split = _impl.rle1_split
     CrcError = _impl.CrcError
 except ImportError:  # extension not built
     HAVE_NATIVE = False
     decode_stream = None
     crc32 = None
+    rle1_split = None
     CrcError = None

@@ -378,6 +378,77 @@ fail:
     return NULL;
 }
 
+/* ------------------------------------------------------------------ */
+/* RLE1 + CRC block splitter (compress-side intake).                   */
+/* Counterpart of the reference's BlockCompressor RLE1 state machine   */
+/* (reference include/BlockCompressor.hpp:69-154) as a single host     */
+/* pass: runs of 4-255 become 4 literals + count byte; blocks are cut  */
+/* at piece boundaries so each starts with fresh run state; the CRC is */
+/* over the ORIGINAL bytes of each block.                              */
+
+static PyObject *py_rle1_split(PyObject *self, PyObject *args) {
+    Py_buffer view;
+    int level;
+    if (!PyArg_ParseTuple(args, "y*i", &view, &level)) return NULL;
+    if (level < 1 || level > 9) {
+        PyBuffer_Release(&view);
+        PyErr_SetString(PyExc_ValueError, "level must be 1..9");
+        return NULL;
+    }
+    const uint8_t *in = (const uint8_t *)view.buf;
+    size_t n = (size_t)view.len;
+    size_t cap = (size_t)level * 100000 - 20;
+
+    PyObject *blocks = PyList_New(0);
+    uint8_t *out = (uint8_t *)malloc(cap + 8);
+    if (!blocks || !out) goto oom;
+
+    size_t i = 0;
+    while (i < n) {
+        size_t out_len = 0;
+        size_t raw_start = i;
+        uint32_t crc = 0xFFFFFFFFu;
+        Py_BEGIN_ALLOW_THREADS
+        while (i < n) {
+            /* measure the run at i, capped at 255 raw bytes (one piece) */
+            uint8_t v = in[i];
+            size_t run = 1;
+            size_t lim = i + 255 < n ? i + 255 : n;
+            while (i + run < lim && in[i + run] == v) run++;
+            size_t piece_out = run >= 4 ? 5 : run;
+            if (out_len + piece_out > cap) break;
+            if (run >= 4) {
+                out[out_len] = v; out[out_len + 1] = v;
+                out[out_len + 2] = v; out[out_len + 3] = v;
+                out[out_len + 4] = (uint8_t)(run - 4);
+                out_len += 5;
+            } else {
+                for (size_t k = 0; k < run; k++) out[out_len + k] = v;
+                out_len += run;
+            }
+            for (size_t k = 0; k < run; k++)
+                crc = (crc << 8) ^ crc_table[(crc >> 24) ^ v];
+            i += run;
+        }
+        Py_END_ALLOW_THREADS
+        if (out_len == 0) break; /* defensive; cap >= 5 so impossible */
+        PyObject *tup = Py_BuildValue(
+            "(y#nI)", (const char *)out, (Py_ssize_t)out_len,
+            (Py_ssize_t)(i - raw_start), (unsigned int)(crc ^ 0xFFFFFFFFu));
+        if (!tup || PyList_Append(blocks, tup) < 0) { Py_XDECREF(tup); goto oom; }
+        Py_DECREF(tup);
+    }
+    free(out);
+    PyBuffer_Release(&view);
+    return blocks;
+
+oom:
+    free(out);
+    Py_XDECREF(blocks);
+    PyBuffer_Release(&view);
+    return PyErr_NoMemory();
+}
+
 static PyObject *py_crc32(PyObject *self, PyObject *args) {
     Py_buffer view;
     if (!PyArg_ParseTuple(args, "y*", &view)) return NULL;
@@ -393,6 +464,8 @@ static PyMethodDef methods[] = {
     {"decode_stream", (PyCFunction)py_decode_stream, METH_VARARGS | METH_KEYWORDS,
      "Decode a .bz2 stream to bytes (raises ValueError / CrcError)."},
     {"crc32", py_crc32, METH_VARARGS, "CRC-32/BZIP2 of a buffer (finalized)."},
+    {"rle1_split", py_rle1_split, METH_VARARGS,
+     "RLE1-encode and split into blocks: [(block_bytes, raw_len, crc), ...]."},
     {NULL, NULL, 0, NULL},
 };
 

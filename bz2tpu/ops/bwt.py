@@ -58,10 +58,13 @@ def bwt_encode(block: jnp.ndarray, n: jnp.ndarray, *, capacity: int | None = Non
     valid = iota < n
     data = block.astype(jnp.int32)
 
-    # Initial ranks: byte value for valid rotations; 256+i for padding —
-    # distinct and strictly above every valid rank, an invariant each
-    # re-rank preserves (padding sorts last, so its new ranks stay maximal).
-    rank0 = jnp.where(valid, data, 256 + iota)
+    # Initial ranks cover TWO characters (the reference's sortTypeBstar
+    # similarly bucket-sorts by the first two bytes, kernel.cpp:2152-2335),
+    # saving one doubling round; padding gets 65536+i — distinct and
+    # strictly above every valid rank, an invariant each re-rank preserves
+    # (padding sorts last, so its new ranks stay maximal).
+    pair = data * 256 + data[jnp.where(valid, (iota + 1) % n, 0)]
+    rank0 = jnp.where(valid, pair, 65536 + iota)
 
     def second_key(rank, k):
         idx2 = jnp.where(valid, (iota + k) % n, 0)
@@ -72,7 +75,7 @@ def bwt_encode(block: jnp.ndarray, n: jnp.ndarray, *, capacity: int | None = Non
         key_r, key_s, order = lax.sort((rank, second, iota), num_keys=2)
         return _rerank(order, key_r, key_s)
 
-    rank = round_(rank0, jnp.int32(1))
+    rank = round_(rank0, jnp.int32(2))
 
     def cond(state):
         rank, k = state
@@ -83,7 +86,7 @@ def bwt_encode(block: jnp.ndarray, n: jnp.ndarray, *, capacity: int | None = Non
         rank, k = state
         return round_(rank, k), k * 2
 
-    rank, _ = lax.while_loop(cond, body, (rank, jnp.int32(2)))
+    rank, _ = lax.while_loop(cond, body, (rank, jnp.int32(4)))
 
     # Final order: by rank, ties (possible only for periodic blocks, where
     # rotations are bit-identical) broken by index — any consistent order of

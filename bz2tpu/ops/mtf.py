@@ -150,35 +150,49 @@ def mtf_rle2_encode(last: jnp.ndarray, n: jnp.ndarray, *, chunk: int = 8192):
     offsets = jnp.cumsum(emit) - emit
     total = offsets[-1] + emit[-1]
 
-    out = jnp.full(cap + 2, -1, jnp.int32)
-    otrash = cap + 1
-    # Run digits for each collapsed position.
-    for t in range(_MAX_RUN_DIGITS):
-        sel = t < mdig
-        digit = (zp1 >> t) & 1
-        out = out.at[jnp.where(sel, offsets + t, otrash)].set(
-            jnp.where(sel, digit, -1)
-        )
+    out = jnp.full(cap + 2 + _MAX_RUN_DIGITS + 1, -1, jnp.int32)
+    otrash = out.shape[0] - 1
+    # Run digits, one scatter for ALL digits: enumerate the digit domain
+    # j = 0..D-1 (D = total digit count), recover each digit's collapsed
+    # position k by filling digit-start markers forward, then its bit index
+    # and output slot by arithmetic — 1 scatter + 1 cummax + gathers instead
+    # of a _MAX_RUN_DIGITS-deep scatter loop over the full block.
+    dcum = jnp.cumsum(mdig) - mdig  # digit-domain start of position k
+    D = dcum[-1] + mdig[-1]
+    has_dig = k_valid & (mdig > 0)
+    k_of = jnp.zeros(cap + 1, jnp.int32).at[
+        jnp.where(has_dig, dcum, cap)
+    ].max(jnp.where(has_dig, k_iota, 0))[:cap]
+    k_of = lax.cummax(k_of)
+    j_iota = k_iota
+    t_of = j_iota - dcum[k_of]
+    digit = (zp1[k_of] >> t_of) & 1
+    slot = offsets[k_of] + t_of
+    dig_valid = j_iota < D
+    out = out.at[jnp.where(dig_valid, slot, otrash)].set(
+        jnp.where(dig_valid, digit, -1)
+    )
     # The symbol itself (rank+1) after its run digits.
     out = out.at[jnp.where(sym_here, offsets + mdig, otrash)].set(
         jnp.where(sym_here, cranks + 1, -1)
     )
-    # Trailing run digits + EOB at the end. r0_zero with m == 1 means the
-    # whole block is one symbol: the run is tail_gap + 1 zeros (position 0
-    # included) and no symbol was ever emitted.
+    # Trailing run digits + EOB, written as one small dynamic slice at the
+    # end. r0_zero with m == 1 means the whole block is one symbol: the run
+    # is tail_gap + 1 zeros (position 0 included) and no symbol was emitted.
     tz = jnp.where((m == 1) & r0_zero, tail_gap + 1, tail_gap)
     tzp1 = jnp.where(tz > 0, tz + 1, 2)
     tdig = jnp.where(tz > 0, jnp.floor(jnp.log2(tzp1.astype(jnp.float32))).astype(jnp.int32), 0)
-    for t in range(_MAX_RUN_DIGITS):
-        sel = t < tdig
-        digit = (tzp1 >> t) & 1
-        out = out.at[jnp.where(sel, total + t, otrash)].set(
-            jnp.where(sel, digit, -1)
-        )
     eob = n_in_use + 1
+    t_lane = jnp.arange(_MAX_RUN_DIGITS + 1, dtype=jnp.int32)
+    tail_vals = jnp.where(
+        t_lane < tdig,
+        (tzp1 >> t_lane) & 1,
+        jnp.where(t_lane == tdig, eob, -1),
+    )
+    out = lax.dynamic_update_slice(out, tail_vals, (total,))
     n_sym = total + tdig + 1
-    out = out.at[total + tdig].set(eob)
     out = out.at[otrash].set(-1)
+    out = out[: cap + 2]
 
     sym_valid = out >= 0
     freqs = jnp.zeros(258, jnp.int32).at[jnp.clip(out, 0, 257)].add(

@@ -12,6 +12,8 @@ the whole stream.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from bz2tpu.format import constants as C
@@ -20,6 +22,21 @@ from bz2tpu.format.crc32 import stream_crc
 from bz2tpu.oracle.encoder import Rle1Block, rle1_split
 
 DEFAULT_BATCH = 16
+
+
+def split_blocks(data: bytes | np.ndarray, level: int) -> list[Rle1Block]:
+    """RLE1 + CRC block intake: native C single pass when built (the host
+    here is pathologically slow at bulk NumPy reads), NumPy fallback."""
+    from bz2tpu import native
+
+    if native.HAVE_NATIVE:
+        arr = data if isinstance(data, (bytes, bytearray, memoryview)) else np.ascontiguousarray(data, np.uint8)
+        return [
+            Rle1Block(np.frombuffer(b, np.uint8), raw, crc)
+            for b, raw, crc in native.rle1_split(arr, level)
+        ]
+    arr = np.frombuffer(bytes(data), np.uint8) if not isinstance(data, np.ndarray) else data
+    return rle1_split(arr, level)
 
 
 def _block_header_bits(
@@ -63,26 +80,84 @@ def _block_header_bits(
     return np.frombuffer(w.getvalue(), dtype=np.uint8), w.bit_length
 
 
+_SLICE_GRANULE = 1 << 16  # words; bounds distinct compiled slice shapes
+
+
+@functools.lru_cache(maxsize=None)
+def _word_slicer(nwords: int):
+    import jax
+
+    return jax.jit(
+        lambda w, i: jax.lax.dynamic_slice(w, (i, 0), (1, nwords))[0],
+        static_argnames=(),
+    )
+
+
+def _fetch_words(words_dev, row: int, total_bits: int) -> np.ndarray:
+    """Fetch only the compressed prefix of one block's packed words.
+
+    The device link is slow (tens of MB/s); the padded words buffer is ~25x
+    the compressed size, so fetching whole rows would dominate wall time.
+    Slice sizes are rounded to a granule so only a handful of tiny slice
+    programs ever compile.
+    """
+    nw = (total_bits + 31) // 32
+    padded = min(
+        ((nw + _SLICE_GRANULE - 1) // _SLICE_GRANULE) * _SLICE_GRANULE,
+        words_dev.shape[1],
+    )
+    return np.asarray(_word_slicer(padded)(words_dev, row))[:nw]
+
+
 def _encode_batches(blocks: list[Rle1Block], capacity: int, batch: int):
     """Run the device pipeline over fixed-size batches; yield per-block
-    numpy outputs in stream order."""
+    numpy outputs in stream order.
+
+    Dispatch is async: the next batch is launched before the previous
+    batch's results are pulled, overlapping device compute with the
+    (slow) device->host fetch of compressed words.
+    """
+    import jax
     import jax.numpy as jnp
 
     from bz2tpu.ops.pipeline import encode_blocks
 
     n_blocks = len(blocks)
-    for base in range(0, n_blocks, batch):
+    bases = list(range(0, n_blocks, batch))
+    n_dev = jax.device_count()
+    use_mesh = n_dev > 1 and batch % n_dev == 0
+
+    def run(buf, ns):
+        if use_mesh:
+            from bz2tpu.parallel.mesh import block_mesh, encode_blocks_sharded
+
+            return encode_blocks_sharded(buf, ns, mesh=block_mesh())
+        return encode_blocks(buf, ns)
+
+    def dispatch(base):
         chunk = blocks[base : base + batch]
-        bsz = batch if n_blocks > batch else len(chunk)  # single-batch streams
-        buf = np.zeros((bsz, capacity), dtype=np.uint8)
-        ns = np.ones(bsz, dtype=np.int32)  # padding rows encode 1 junk byte
+        # Always pad to the full batch so one compiled shape serves every
+        # round (recompiles cost minutes on the TPU terminal).
+        buf = np.zeros((batch, capacity), dtype=np.uint8)
+        ns = np.ones(batch, dtype=np.int32)  # padding rows encode 1 junk byte
         for i, blk in enumerate(chunk):
             buf[i, : blk.data.size] = blk.data
             ns[i] = blk.data.size
-        out = encode_blocks(jnp.asarray(buf), jnp.asarray(ns))
-        host = {k: np.asarray(v) for k, v in out.items()}
-        for i in range(len(chunk)):
-            yield {k: v[i] for k, v in host.items()}
+        return len(chunk), run(jnp.asarray(buf), jnp.asarray(ns))
+
+    pending = dispatch(bases[0]) if bases else None
+    for bi, base in enumerate(bases):
+        n_chunk, out = pending
+        pending = dispatch(bases[bi + 1]) if bi + 1 < len(bases) else None
+        small = {
+            k: np.asarray(v)
+            for k, v in out.items()
+            if k != "words"
+        }
+        for i in range(n_chunk):
+            row = {k: v[i] for k, v in small.items()}
+            row["words"] = _fetch_words(out["words"], i, int(small["total_bits"][i]))
+            yield row
 
 
 def compress(
@@ -98,9 +173,9 @@ def compress(
     )
     if not C.MIN_LEVEL <= level <= C.MAX_LEVEL:
         raise ValueError(f"block size level must be 1..9, got {level}")
-    blocks = rle1_split(arr, level)
+    blocks = split_blocks(arr, level)
     capacity = C.BLOCK_SIZE_BASE * level
-    batch = parallel or DEFAULT_BATCH
+    batch = min(parallel or DEFAULT_BATCH, max(len(blocks), 1))
 
     parts: list[tuple[np.ndarray, int]] = []
     head = BitWriter()
