@@ -12,6 +12,15 @@ Prefix doubling is O(n log n) worst case with NO data-dependent degradation
 (kernel.cpp:2109-2142): low-entropy repetitive input simply runs its full
 log2(n) rounds.
 
+Round structure (cost = one 3-operand lexicographic sort per round):
+  round 0 sorts (2-byte pair at i, 2-byte pair at i+2) -> rank over FOUR
+  characters (the reference's sortTypeBstar similarly radix-sorts by the
+  first two bytes, kernel.cpp:2152-2335); subsequent rounds double k from
+  4. Every sort is stable with the rotation index as payload, so the order
+  emerging from the final round IS the suffix array — including the
+  periodic-block case, where bit-identical rotations stay in index order
+  (any consistent order of identical rotations yields a valid BWT).
+
 All shapes are static: a block is a (capacity,) uint8 array plus a valid
 length scalar. Padding positions are assigned distinct sort keys strictly
 greater than any valid key so they cluster at the tail of the order and
@@ -58,40 +67,37 @@ def bwt_encode(block: jnp.ndarray, n: jnp.ndarray, *, capacity: int | None = Non
     valid = iota < n
     data = block.astype(jnp.int32)
 
-    # Initial ranks cover TWO characters (the reference's sortTypeBstar
-    # similarly bucket-sorts by the first two bytes, kernel.cpp:2152-2335),
-    # saving one doubling round; padding gets 65536+i — distinct and
-    # strictly above every valid rank, an invariant each re-rank preserves
-    # (padding sorts last, so its new ranks stay maximal).
-    pair = data * 256 + data[jnp.where(valid, (iota + 1) % n, 0)]
-    rank0 = jnp.where(valid, pair, 65536 + iota)
+    def wrap(k):
+        return jnp.where(valid, (iota + k) % n, 0)
 
-    def second_key(rank, k):
-        idx2 = jnp.where(valid, (iota + k) % n, 0)
-        return jnp.where(valid, rank[idx2], -1)
+    # Round 0: 16-bit character-pair keys at i and i+2 -> rank over 4 chars.
+    # Padding gets 65536+i: distinct and strictly above every valid key, an
+    # invariant every re-rank preserves (padding sorts last, so its new
+    # ranks stay maximal).
+    pair0 = data * 256 + data[wrap(1)]
+    pair2 = pair0[wrap(2)]
+    key_r = jnp.where(valid, pair0, 65536 + iota)
+    key_s = jnp.where(valid, pair2, -1)
+    key_r, key_s, order = lax.sort((key_r, key_s, iota), num_keys=2, is_stable=True)
+    rank = _rerank(order, key_r, key_s)
 
     def round_(rank, k):
-        second = second_key(rank, k)
-        key_r, key_s, order = lax.sort((rank, second, iota), num_keys=2)
-        return _rerank(order, key_r, key_s)
-
-    rank = round_(rank0, jnp.int32(2))
+        second = jnp.where(valid, rank[wrap(k)], -1)
+        key_r, key_s, order = lax.sort((rank, second, iota), num_keys=2, is_stable=True)
+        return _rerank(order, key_r, key_s), order
 
     def cond(state):
-        rank, k = state
+        rank, order, k = state
         all_distinct = jnp.max(rank) == cap - 1
         return (~all_distinct) & (k < n)
 
     def body(state):
-        rank, k = state
-        return round_(rank, k), k * 2
+        rank, order, k = state
+        rank, order = round_(rank, k)
+        return rank, order, k * 2
 
-    rank, _ = lax.while_loop(cond, body, (rank, jnp.int32(4)))
+    _, sa, _ = lax.while_loop(cond, body, (rank, order, jnp.int32(4)))
 
-    # Final order: by rank, ties (possible only for periodic blocks, where
-    # rotations are bit-identical) broken by index — any consistent order of
-    # identical rotations yields a valid, invertible BWT.
-    _, sa = lax.sort((rank, iota), num_keys=1, is_stable=True)
     orig_ptr = jnp.argmax(sa == 0).astype(jnp.int32)
     last = jnp.where(valid, block[(sa - 1) % n], 0).astype(jnp.uint8)
     return last, orig_ptr
