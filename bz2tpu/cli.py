@@ -41,6 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--metrics", action="store_true", help="print JSON metrics to stderr")
     p.add_argument("--banner", action="store_true", help="print device info to stderr")
+    p.add_argument("--trace", metavar="DIR", help="write a JAX profiler trace to DIR")
     return p
 
 
@@ -62,9 +63,12 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: no such file: {args.file}", file=sys.stderr)
         return 2
 
+    from bz2tpu.utils.profiling import device_trace
+
     metrics = RunMetrics(level=args.size)
     clock = Clock()
     try:
+      with device_trace(args.trace):
         if args.dec or args.check:
             metrics.op = "check" if args.check else "decompress"
             data = sys.stdin.buffer.read() if use_stdio else open(args.file, "rb").read()

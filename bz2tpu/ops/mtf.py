@@ -28,12 +28,14 @@ base 2). All digits scatter in parallel; no sequential state remains.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 _NEG = jnp.int32(-(1 << 30))
+_USE_PALLAS_DEFAULT = os.environ.get("BZ2TPU_PALLAS", "0") == "1"
 _MAX_RUN_DIGITS = 21  # floor(log2(900_001 + 1)) = 19; margin for any capacity
 
 
@@ -79,8 +81,14 @@ def _mtf_ranks_collapsed(seq: jnp.ndarray, m: jnp.ndarray, n_in_use: jnp.ndarray
     return ranks.reshape(-1)[:cap]
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def mtf_rle2_encode(last: jnp.ndarray, n: jnp.ndarray, *, chunk: int = 8192):
+@functools.partial(jax.jit, static_argnames=("chunk", "use_pallas"))
+def mtf_rle2_encode(
+    last: jnp.ndarray,
+    n: jnp.ndarray,
+    *,
+    chunk: int = 8192,
+    use_pallas: bool = _USE_PALLAS_DEFAULT,
+):
     """MTF + RLE2 encode the BWT last column.
 
     Args:
@@ -119,7 +127,12 @@ def mtf_rle2_encode(last: jnp.ndarray, n: jnp.ndarray, *, chunk: int = 8192):
         jnp.where(change, cpos, trash)
     ].set(jnp.where(change, iota, 0))[:cap]
 
-    cranks = _mtf_ranks_collapsed(cseq, m, n_in_use, chunk)
+    if use_pallas:
+        from bz2tpu.ops.mtf_pallas import mtf_ranks_pallas
+
+        cranks = mtf_ranks_pallas(cseq, n_in_use, m=m, chunk=min(chunk, 2048))
+    else:
+        cranks = _mtf_ranks_collapsed(cseq, m, n_in_use, chunk)
 
     # --- RLE2 in the collapsed domain ---
     k_iota = jnp.arange(cap, dtype=jnp.int32)
