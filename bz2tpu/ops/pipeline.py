@@ -10,6 +10,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 
 from bz2tpu.ops.bwt import bwt_encode
 from bz2tpu.ops.emit import pack_symbol_data
@@ -17,7 +18,7 @@ from bz2tpu.ops.huffman import huffman_assign, max_selectors
 from bz2tpu.ops.mtf import mtf_rle2_encode
 
 
-def encode_block(block, n, *, mtf_chunk: int = 2048):
+def encode_block(block, n, *, mtf_chunk: int = 8192):
     """Encode one padded block; returns everything the driver needs to emit
     the block bitstream (reference close_block, kernel.cpp:3099-3122)."""
     capacity = block.shape[-1]
@@ -30,6 +31,8 @@ def encode_block(block, n, *, mtf_chunk: int = 2048):
     words, total_bits = pack_symbol_data(
         mtf["symbols"], plan["selectors"], plan["lengths"], plan["codes"], maxsel=maxsel
     )
+    # Narrow dtypes on everything the host fetches — the device link is the
+    # bottleneck, not device memory (selector ranks < 6, lengths <= 20).
     return {
         "orig_ptr": orig_ptr,
         "used": mtf["used"],
@@ -37,14 +40,67 @@ def encode_block(block, n, *, mtf_chunk: int = 2048):
         "n_in_use": mtf["n_in_use"],
         "n_groups": plan["n_groups"],
         "n_selectors": plan["n_selectors"],
-        "selector_mtf": plan["selector_mtf"],
-        "lengths": plan["lengths"],
+        "selector_mtf": plan["selector_mtf"].astype(jnp.uint8),
+        "lengths": plan["lengths"].astype(jnp.uint8),
         "words": words,
         "total_bits": total_bits,
     }
 
 
 @functools.partial(jax.jit, static_argnames=("mtf_chunk",))
-def encode_blocks(blocks, ns, *, mtf_chunk: int = 2048):
+def encode_blocks(blocks, ns, *, mtf_chunk: int = 8192):
     """vmapped batch encode: blocks (B, capacity) uint8, ns (B,) int32."""
     return jax.vmap(functools.partial(encode_block, mtf_chunk=mtf_chunk))(blocks, ns)
+
+
+# --- staged form: three smaller compilations instead of one mega-graph ---
+# The fused jit above is what the compile-check entry uses; the runtime
+# dispatches these stages instead because XLA optimization time grows
+# superlinearly with graph size (the fused 900k-block pipeline costs ~20
+# minutes to compile on the TPU terminal; the stages total a fraction of
+# that and cache independently). Intermediates never leave the device.
+
+
+@jax.jit
+def bwt_stage(blocks, ns):
+    return jax.vmap(bwt_encode)(blocks, ns)
+
+
+@functools.partial(jax.jit, static_argnames=("mtf_chunk",))
+def mtf_stage(last, ns, *, mtf_chunk: int = 8192):
+    return jax.vmap(lambda l, n: mtf_rle2_encode(l, n, chunk=mtf_chunk))(last, ns)
+
+
+@jax.jit
+def huff_pack_stage(symbols, n_sym, freqs, n_in_use):
+    capacity = symbols.shape[-1] - 2
+    maxsel = max_selectors(capacity)
+
+    def one(sym, nsym, fr, niu):
+        plan = huffman_assign(sym, nsym, fr, niu, maxsel=maxsel)
+        words, total_bits = pack_symbol_data(
+            sym, plan["selectors"], plan["lengths"], plan["codes"], maxsel=maxsel
+        )
+        return {
+            "n_groups": plan["n_groups"],
+            "n_selectors": plan["n_selectors"],
+            "selector_mtf": plan["selector_mtf"].astype(jnp.uint8),
+            "lengths": plan["lengths"].astype(jnp.uint8),
+            "words": words,
+            "total_bits": total_bits,
+        }
+
+    return jax.vmap(one)(symbols, n_sym, freqs, n_in_use)
+
+
+def encode_blocks_staged(blocks, ns, *, mtf_chunk: int = 8192):
+    """Same result pytree as encode_blocks, via the three staged jits."""
+    last, orig_ptr = bwt_stage(blocks, ns)
+    mtf = mtf_stage(last, ns, mtf_chunk=mtf_chunk)
+    out = huff_pack_stage(mtf["symbols"], mtf["n_sym"], mtf["freqs"], mtf["n_in_use"])
+    out = dict(out)
+    out["orig_ptr"] = orig_ptr
+    out["used"] = mtf["used"]
+    out["n_sym"] = mtf["n_sym"]
+    out["n_in_use"] = mtf["n_in_use"]
+    return out

@@ -120,7 +120,7 @@ def _encode_batches(blocks: list[Rle1Block], capacity: int, batch: int):
     import jax
     import jax.numpy as jnp
 
-    from bz2tpu.ops.pipeline import encode_blocks
+    from bz2tpu.ops.pipeline import encode_blocks_staged
 
     n_blocks = len(blocks)
     bases = list(range(0, n_blocks, batch))
@@ -132,7 +132,7 @@ def _encode_batches(blocks: list[Rle1Block], capacity: int, batch: int):
             from bz2tpu.parallel.mesh import block_mesh, encode_blocks_sharded
 
             return encode_blocks_sharded(buf, ns, mesh=block_mesh())
-        return encode_blocks(buf, ns)
+        return encode_blocks_staged(buf, ns)
 
     def dispatch(base):
         chunk = blocks[base : base + batch]
