@@ -16,10 +16,14 @@ try:  # pragma: no cover - exercised via the public wrappers
     decode_stream = _impl.decode_stream
     crc32 = _impl.crc32
     rle1_split = _impl.rle1_split
+    scan_blocks = _impl.scan_blocks
+    decode_block_at = _impl.decode_block_at
     CrcError = _impl.CrcError
 except ImportError:  # extension not built
     HAVE_NATIVE = False
     decode_stream = None
     crc32 = None
     rle1_split = None
+    scan_blocks = None
+    decode_block_at = None
     CrcError = None

@@ -379,6 +379,100 @@ fail:
 }
 
 /* ------------------------------------------------------------------ */
+/* Parallel-decode support: block-boundary scan + single-block decode. */
+/* The reference decodes strictly sequentially on one thread           */
+/* (reference include/InputStream.hpp:51-95). bzip2 blocks are         */
+/* self-contained after their 48-bit marker, so a scan for the marker  */
+/* bit pattern yields per-block work items that decode concurrently    */
+/* (the pbzip2 trick); the Python driver verifies the offsets chain    */
+/* exactly and falls back to sequential decode on any mismatch (a      */
+/* false positive is a 2^-48 event per bit).                           */
+
+static PyObject *py_scan_blocks(PyObject *self, PyObject *args) {
+    Py_buffer view;
+    if (!PyArg_ParseTuple(args, "y*", &view)) return NULL;
+    const uint8_t *d = (const uint8_t *)view.buf;
+    size_t nbits = (size_t)view.len * 8;
+    size_t cap_h = 64, n_h = 0, cap_e = 8, n_e = 0;
+    size_t *hs = (size_t *)malloc(cap_h * sizeof(size_t));
+    size_t *es = (size_t *)malloc(cap_e * sizeof(size_t));
+    int oom = 0;
+    if (!hs || !es) oom = 1;
+    if (!oom) {
+        Py_BEGIN_ALLOW_THREADS
+        uint64_t win = 0;
+        for (size_t i = 0; i < nbits && !oom; i++) {
+            win = ((win << 1) | ((d[i >> 3] >> (7 - (i & 7))) & 1)) & 0xFFFFFFFFFFFFULL;
+            if (i < 47) continue;
+            if (win == BLOCK_HEADER) {
+                if (n_h == cap_h) {
+                    size_t *nh = (size_t *)realloc(hs, (cap_h *= 2) * sizeof(size_t));
+                    if (!nh) { oom = 1; break; }
+                    hs = nh;
+                }
+                hs[n_h++] = i - 47;
+            } else if (win == STREAM_END) {
+                if (n_e == cap_e) {
+                    size_t *ne = (size_t *)realloc(es, (cap_e *= 2) * sizeof(size_t));
+                    if (!ne) { oom = 1; break; }
+                    es = ne;
+                }
+                es[n_e++] = i - 47;
+            }
+        }
+        Py_END_ALLOW_THREADS
+    }
+    PyBuffer_Release(&view);
+    if (oom) { free(hs); free(es); return PyErr_NoMemory(); }
+    PyObject *headers = PyList_New((Py_ssize_t)n_h);
+    PyObject *ends = PyList_New((Py_ssize_t)n_e);
+    if (!headers || !ends) { Py_XDECREF(headers); Py_XDECREF(ends); free(hs); free(es); return NULL; }
+    for (size_t k = 0; k < n_h; k++) PyList_SET_ITEM(headers, (Py_ssize_t)k, PyLong_FromSize_t(hs[k]));
+    for (size_t k = 0; k < n_e; k++) PyList_SET_ITEM(ends, (Py_ssize_t)k, PyLong_FromSize_t(es[k]));
+    free(hs); free(es);
+    return Py_BuildValue("(NN)", headers, ends);
+}
+
+static PyObject *py_decode_block_at(PyObject *self, PyObject *args) {
+    Py_buffer view;
+    Py_ssize_t bit_offset;
+    int level, verify_crc;
+    if (!PyArg_ParseTuple(args, "y*nip", &view, &bit_offset, &level, &verify_crc))
+        return NULL;
+    if (level < 1 || level > 9) {
+        PyBuffer_Release(&view);
+        PyErr_SetString(PyExc_ValueError, "level must be 1..9");
+        return NULL;
+    }
+    int max_block = level * 100000;
+    BitReader br = {(const uint8_t *)view.buf, (size_t)view.len, (size_t)bit_offset + 48};
+    Vec out = {NULL, 0, 0};
+    DecErr e = {NULL, 0};
+    uint32_t dummy_crc = 0;
+    uint8_t *bwt = (uint8_t *)malloc((size_t)max_block);
+    int32_t *tvec = (int32_t *)malloc(sizeof(int32_t) * (size_t)max_block);
+    if (!bwt || !tvec) { e.err = "out of memory"; goto done; }
+    Py_BEGIN_ALLOW_THREADS
+    decode_one_block(&br, max_block, verify_crc, &dummy_crc, &out, &e, bwt, tvec);
+    Py_END_ALLOW_THREADS
+done:
+    free(bwt);
+    free(tvec);
+    PyBuffer_Release(&view);
+    if (e.err) {
+        free(out.buf);
+        PyErr_SetString(e.crc_mismatch ? CrcError : PyExc_ValueError, e.err);
+        return NULL;
+    }
+    /* dummy_crc = rotl1(0) ^ stored = stored block CRC */
+    PyObject *res = Py_BuildValue(
+        "(y#In)", (const char *)out.buf, (Py_ssize_t)out.len,
+        (unsigned int)dummy_crc, (Py_ssize_t)br.pos);
+    free(out.buf);
+    return res;
+}
+
+/* ------------------------------------------------------------------ */
 /* RLE1 + CRC block splitter (compress-side intake).                   */
 /* Counterpart of the reference's BlockCompressor RLE1 state machine   */
 /* (reference include/BlockCompressor.hpp:69-154) as a single host     */
@@ -466,6 +560,10 @@ static PyMethodDef methods[] = {
     {"crc32", py_crc32, METH_VARARGS, "CRC-32/BZIP2 of a buffer (finalized)."},
     {"rle1_split", py_rle1_split, METH_VARARGS,
      "RLE1-encode and split into blocks: [(block_bytes, raw_len, crc), ...]."},
+    {"scan_blocks", py_scan_blocks, METH_VARARGS,
+     "Bit-scan for block/end markers: ([header_bit_offsets], [end_bit_offsets])."},
+    {"decode_block_at", py_decode_block_at, METH_VARARGS,
+     "decode_block_at(data, bit_offset, level, verify) -> (bytes, crc, end_bit)."},
     {NULL, NULL, 0, NULL},
 };
 

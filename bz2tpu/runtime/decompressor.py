@@ -1,26 +1,89 @@
 """Decompression driver.
 
-The reference decompresses entirely on the host in C++ (reference
-include/InputStream.hpp:51-95, include/BlockDecompressor.hpp, app.cpp:
-149-168); our native counterpart is bz2tpu/native/_bz2dec.c (C, streaming,
-all-conformant-streams). When the extension is unavailable the vectorized
-NumPy decoder (bz2tpu/oracle/decoder.py) serves as the fallback. Both raise
-the same exception types.
+The reference decompresses entirely on the host, single-threaded, one byte
+per pull (reference include/InputStream.hpp:51-95, app.cpp:149-168). Here:
+
+- the native C core (bz2tpu/native/_bz2dec.c) decodes any conformant
+  stream at libbz2-parity speed;
+- large streams decode **block-parallel**: bzip2 blocks are self-contained
+  after their 48-bit marker, so a native bit-scan finds all block
+  boundaries and a thread pool decodes them concurrently (the C decoder
+  releases the GIL). The offsets chain is verified exactly — every
+  block's end bit must be the next block's marker — and any mismatch
+  (a 2^-48-per-bit false positive) falls back to sequential decode;
+- the vectorized NumPy decoder remains the no-extension fallback.
 """
 
 from __future__ import annotations
 
+import os
+from concurrent.futures import ThreadPoolExecutor
+
 from bz2tpu import native
+from bz2tpu.format.crc32 import stream_crc_fold
 from bz2tpu.oracle.decoder import Bz2CrcError, Bz2FormatError  # noqa: F401
 from bz2tpu.oracle.decoder import decompress as _oracle_decompress
 
+_PARALLEL_THRESHOLD = 1 << 20  # compressed bytes
+
+
+def _decompress_parallel(stream: bytes, verify_crc: bool) -> bytes | None:
+    """Block-parallel decode; None means 'use the sequential path'."""
+    headers, ends = native.scan_blocks(stream)
+    if len(headers) < 2 or not ends:
+        return None
+    if headers[0] != 32:  # first block follows BZh<level> immediately
+        return None
+    level = stream[3] - ord("0")
+    if not 1 <= level <= 9:
+        return None
+
+    workers = min(len(headers), os.cpu_count() or 1)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        results = list(
+            pool.map(
+                lambda off: native.decode_block_at(stream, off, level, verify_crc),
+                headers,
+            )
+        )
+    # Verify the chain: block i must end exactly at block i+1's marker, and
+    # the last block at a scanned end marker.
+    for i, (_, _, end_bit) in enumerate(results[:-1]):
+        if end_bit != headers[i + 1]:
+            return None
+    last_end = results[-1][2]
+    if last_end not in ends:
+        return None
+    if verify_crc:
+        s_crc = 0
+        for _, crc, _ in results:
+            s_crc = stream_crc_fold(s_crc, crc)
+        # Stored stream CRC: 32 bits after the end marker.
+        pos = last_end + 48
+        if pos + 32 > len(stream) * 8:
+            raise Bz2FormatError("truncated stream CRC")
+        stored = 0
+        for b in range(32):
+            bit = (stream[(pos + b) >> 3] >> (7 - ((pos + b) & 7))) & 1
+            stored = (stored << 1) | bit
+        if stored != s_crc:
+            raise Bz2CrcError(f"stream CRC mismatch: {stored:#x} != {s_crc:#x}")
+    return b"".join(r[0] for r in results)
+
 
 def decompress(stream: bytes, verify_crc: bool = True) -> bytes:
+    stream = bytes(stream)
     if native.HAVE_NATIVE:
         try:
-            return native.decode_stream(bytes(stream), verify_crc)
+            if len(stream) >= _PARALLEL_THRESHOLD:
+                out = _decompress_parallel(stream, verify_crc)
+                if out is not None:
+                    return out
+            return native.decode_stream(stream, verify_crc)
         except native.CrcError as e:
             raise Bz2CrcError(str(e)) from None
+        except Bz2CrcError:
+            raise
         except ValueError as e:
             raise Bz2FormatError(str(e)) from None
     return _oracle_decompress(stream, verify_crc=verify_crc)

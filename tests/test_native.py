@@ -68,3 +68,37 @@ def test_truncated_stream_raises(rng):
 def test_driver_uses_native(rng):
     data = make_corpus(rng, "zeros", 100_000)
     assert decompress(stdlib_bz2.compress(data, 1)) == data
+
+
+def test_parallel_decode_matches(rng):
+    from bz2tpu.runtime.decompressor import _decompress_parallel
+
+    data = make_corpus(rng, "text", 2_000_000)
+    comp = stdlib_bz2.compress(data, 1)  # many blocks
+    out = _decompress_parallel(comp, True)
+    assert out == data
+
+
+def test_parallel_decode_crc_detects_corruption(rng):
+    from bz2tpu.runtime.decompressor import _decompress_parallel, decompress
+
+    data = make_corpus(rng, "text", 2_000_000)
+    comp = bytearray(stdlib_bz2.compress(data, 1))
+    comp[100] ^= 0x10  # inside the first block's data
+    with pytest.raises(ValueError):
+        _decompress_parallel(bytes(comp), True)
+    with pytest.raises(ValueError):
+        decompress(bytes(comp))
+
+
+def test_scan_blocks_offsets(rng):
+    data = make_corpus(rng, "text", 500_000)
+    comp = stdlib_bz2.compress(data, 1)
+    headers, ends = native.scan_blocks(comp)
+    assert headers and headers[0] == 32
+    assert len(ends) >= 1
+    # First header decodes and chains to the second.
+    out, crc, end_bit = native.decode_block_at(comp, headers[0], 1, True)
+    assert len(out) > 0
+    if len(headers) > 1:
+        assert end_bit == headers[1]
