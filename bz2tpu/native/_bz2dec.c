@@ -251,7 +251,13 @@ static int decode_one_block(
             code = (code << 1) | b;
             if (++bits > MAX_ACCEPT_LEN) { free(selectors); e->err = "invalid Huffman code"; return -1; }
         }
-        int sym = tb->perm[(int32_t)code - tb->base[bits]];
+        int32_t perm_idx = (int32_t)code - tb->base[bits];
+        if (perm_idx < 0 || perm_idx >= alpha) {
+            /* over-subscribed/incomplete canonical code reached the
+               INT32_MAX sentinel past max_len — malformed stream */
+            free(selectors); e->err = "invalid Huffman code"; return -1;
+        }
+        int sym = tb->perm[perm_idx];
         if (sym <= 1) { /* RUNA=0 / RUNB=1 */
             run += (int64_t)(sym + 1) << run_bit;
             run_bit++;

@@ -137,7 +137,10 @@ def _decode_huffman_data(
             bits += 1
             if bits > C.HUFFMAN_DECODE_MAX_ACCEPTED_LENGTH:
                 raise Bz2FormatError("invalid Huffman code")
-        sym = int(perm[code - base[bits]])
+        perm_idx = code - int(base[bits])
+        if not 0 <= perm_idx < perm.size:
+            raise Bz2FormatError("invalid Huffman code")
+        sym = int(perm[perm_idx])
         if sym in (C.RUNA, C.RUNB):
             run += (sym + 1) << run_bit
             run_bit += 1
@@ -256,6 +259,13 @@ _EXTRA_MARKER = np.zeros(0, dtype=np.uint8)  # identity-compared sentinel
 
 def decompress(stream: bytes | np.ndarray, verify_crc: bool = True) -> bytes:
     """Decode a standard .bz2 stream, verifying per-block and stream CRCs."""
+    try:
+        return _decompress_inner(stream, verify_crc)
+    except EOFError as e:  # BitReader exhaustion anywhere = truncated stream
+        raise Bz2FormatError(f"truncated stream: {e}") from None
+
+
+def _decompress_inner(stream: bytes | np.ndarray, verify_crc: bool) -> bytes:
     r = BitReader(stream)
     if r.read_bits(24) != int.from_bytes(C.STREAM_MAGIC, "big"):
         raise Bz2FormatError("bad stream magic (expected BZh)")
