@@ -19,7 +19,8 @@ try:  # pragma: no cover - exercised via the public wrappers
     scan_blocks = _impl.scan_blocks
     decode_block_at = _impl.decode_block_at
     CrcError = _impl.CrcError
-except ImportError:  # extension not built
+except (ImportError, AttributeError):  # extension not built, or stale build
+    # predating newer entry points (AttributeError from _impl.<name>)
     HAVE_NATIVE = False
     decode_stream = None
     crc32 = None

@@ -18,7 +18,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from bz2tpu.ops.pipeline import encode_block
+from bz2tpu.ops.pipeline import bwt_stage, huff_pack_stage, mtf_stage
 
 
 def block_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -38,29 +38,52 @@ def pad_batch(n_blocks: int, n_shards: int, batch_per_shard: int | None = None) 
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_encode(mesh: Mesh, mtf_chunk: int):
+def _sharded_stages(mesh: Mesh, mtf_chunk: int):
+    """The three staged jits (ops.pipeline), each shard_map'ed over blocks.
+
+    Sharding per stage keeps the compile-time win of the staged split (the
+    fused graph costs ~20 minutes on the TPU terminal) on meshes too.
+    There is no cross-shard communication anywhere, so the
+    varying-manual-axes check has nothing to protect (check_vma=False: the
+    stages' scan/while carries start from replicated constants).
+    """
     shard = P("blocks")
-    return jax.jit(
-        jax.shard_map(
-            jax.vmap(functools.partial(encode_block, mtf_chunk=mtf_chunk)),
-            mesh=mesh,
-            in_specs=(shard, shard),
-            out_specs=shard,
-            # The pipeline's scan/while carries start from replicated
-            # constants; there is no cross-shard communication anywhere, so
-            # the varying-manual-axes check has nothing to protect.
-            check_vma=False,
+
+    def sm(fn, n_in):
+        return jax.jit(
+            jax.shard_map(
+                fn,
+                mesh=mesh,
+                in_specs=(shard,) * n_in,
+                out_specs=shard,
+                check_vma=False,
+            )
         )
+
+    return (
+        sm(bwt_stage, 2),
+        sm(functools.partial(mtf_stage, mtf_chunk=mtf_chunk), 2),
+        sm(huff_pack_stage, 4),
     )
 
 
-def encode_blocks_sharded(blocks, ns, *, mesh: Mesh, mtf_chunk: int = 2048):
+def encode_blocks_sharded(blocks, ns, *, mesh: Mesh, mtf_chunk: int = 8192):
     """Batched block encode, blocks sharded over the mesh.
 
     blocks: (B, capacity) uint8 with B divisible by mesh size; ns: (B,).
-    Returns the same pytree as ops.pipeline.encode_blocks, sharded on the
-    leading axis; fetching it in order IS the ordered gather.
+    Returns the same pytree as ops.pipeline.encode_blocks_staged, sharded
+    on the leading axis; fetching it in order IS the ordered gather.
     """
+    bwt_s, mtf_s, huff_s = _sharded_stages(mesh, mtf_chunk)
     blocks = jax.device_put(blocks, NamedSharding(mesh, P("blocks", None)))
     ns = jax.device_put(ns, NamedSharding(mesh, P("blocks")))
-    return _sharded_encode(mesh, mtf_chunk)(blocks, ns)
+    last, orig_ptr = bwt_s(blocks, ns)
+    mtf = mtf_s(last, ns)
+    out = dict(
+        huff_s(mtf["symbols"], mtf["n_sym"], mtf["freqs"], mtf["n_in_use"])
+    )
+    out["orig_ptr"] = orig_ptr
+    out["used"] = mtf["used"]
+    out["n_sym"] = mtf["n_sym"]
+    out["n_in_use"] = mtf["n_in_use"]
+    return out

@@ -38,14 +38,21 @@ def _decompress_parallel(stream: bytes, verify_crc: bool) -> bytes | None:
     if not 1 <= level <= 9:
         return None
 
+    def decode_one(off):
+        try:
+            return native.decode_block_at(stream, off, level, verify_crc)
+        except ValueError:
+            # Spurious marker match, or a stream this optimistic path can't
+            # handle (e.g. concatenated streams at different levels) — the
+            # caller falls back to sequential decode, which raises properly
+            # if the stream is genuinely bad.
+            return None
+
     workers = min(len(headers), os.cpu_count() or 1)
     with ThreadPoolExecutor(max_workers=workers) as pool:
-        results = list(
-            pool.map(
-                lambda off: native.decode_block_at(stream, off, level, verify_crc),
-                headers,
-            )
-        )
+        results = list(pool.map(decode_one, headers))
+    if any(r is None for r in results):
+        return None
     # Verify the chain: block i must end exactly at block i+1's marker, and
     # the last block at a scanned end marker.
     for i, (_, _, end_bit) in enumerate(results[:-1]):

@@ -117,8 +117,18 @@ def compress_stream(
     leftover = b""
     eof = False
     while not eof:
-        chunk = reader.read(read_size)
-        eof = len(chunk) < read_size
+        # Accumulate a full chunk: file-likes may legally return short
+        # reads before EOF (pipes, sockets); only b"" means end of input.
+        pieces = []
+        got = 0
+        while got < read_size:
+            piece = reader.read(read_size - got)
+            if not piece:
+                eof = True
+                break
+            pieces.append(piece)
+            got += len(piece)
+        chunk = b"".join(pieces)
         data = np.frombuffer(leftover + chunk, dtype=np.uint8)
         del chunk
         blocks = split_blocks(data, level)
@@ -166,5 +176,15 @@ def compress_file(
     parallel: int | None = None,
     metrics=None,
 ) -> None:
-    with open(in_path, "rb") as fin, open(out_path, "wb") as fout:
-        compress_stream(fin, fout, level=level, parallel=parallel, metrics=metrics)
+    """Stream-compress a file; the output appears atomically (temp +
+    rename), so a failure mid-run never leaves a truncated .bz2 behind."""
+    import os
+
+    tmp_path = out_path + ".bz2tpu-tmp"
+    try:
+        with open(in_path, "rb") as fin, open(tmp_path, "wb") as fout:
+            compress_stream(fin, fout, level=level, parallel=parallel, metrics=metrics)
+        os.replace(tmp_path, out_path)
+    finally:
+        if os.path.exists(tmp_path):
+            os.unlink(tmp_path)

@@ -59,3 +59,42 @@ def test_truncation_sweep(rng, name, dec):
 def test_driver_rejects_garbage(rng):
     with pytest.raises((Bz2FormatError, ValueError)):
         decompress(b"not a bzip2 stream at all")
+
+
+def test_parallel_decode_falls_back_on_spurious_marker(rng):
+    # A valid >=1MiB stream followed by junk containing the 48-bit block
+    # marker: the optimistic scan finds a bogus header, the worker fails,
+    # and decompress() must fall back to sequential decode of the real data.
+    from bz2tpu.runtime.decompressor import _decompress_parallel
+
+    data = make_corpus(rng, "text", 3_000_000)
+    comp = stdlib_bz2.compress(data, 1)
+    junk = comp + bytes.fromhex("314159265359") + b"\x00" * 6
+    assert _decompress_parallel(junk, True) is None  # signals fallback
+    assert decompress(junk) == data
+
+
+def test_stream_short_reads(rng):
+    # file-likes may return short reads before EOF; no byte may be lost.
+    import io
+
+    import bz2 as stdlib
+    from bz2tpu.runtime.stream import compress_stream
+
+    class Dribble(io.RawIOBase):
+        def __init__(self, data):
+            self._d = data
+            self._p = 0
+
+        def read(self, n=-1):
+            if self._p >= len(self._d):
+                return b""
+            step = min(1234, n if n > 0 else 1234)
+            out = self._d[self._p : self._p + step]
+            self._p += len(out)
+            return out
+
+    data = make_corpus(rng, "text", 300_000)
+    sink = io.BytesIO()
+    compress_stream(Dribble(data), sink, level=1, parallel=2, chunk_blocks=2)
+    assert stdlib.decompress(sink.getvalue()) == data

