@@ -21,7 +21,7 @@ from bz2tpu.format.bitio import BitWriter, concat_bitstreams
 from bz2tpu.format.crc32 import stream_crc
 from bz2tpu.oracle.encoder import Rle1Block, rle1_split
 
-DEFAULT_BATCH = 16
+DEFAULT_BATCH = 8  # best measured per-block device throughput (B=4/8/32 sweep)
 
 
 def split_blocks(data: bytes | np.ndarray, level: int) -> list[Rle1Block]:
