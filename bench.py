@@ -22,7 +22,8 @@ import time
 import numpy as np
 
 LEVEL = 9
-N_BLOCKS = 8  # one padded batch at DEFAULT_BATCH=16 would double compile time
+N_BLOCKS = 16  # two batches of 8: exercises dispatch/fetch pipelining
+BATCH = 8
 WORDS = [b"the ", b"quick ", b"brown ", b"fox ", b"jumps  ", b"over\n", b"lazy ", b"dog. "]
 
 
@@ -46,11 +47,11 @@ def main() -> int:
     data = make_text(nbytes, 43)
 
     t0 = time.time()
-    compress(warm, level=LEVEL, parallel=N_BLOCKS)  # compile + warm caches
+    compress(warm, level=LEVEL, parallel=BATCH)  # compile + warm caches
     warm_s = time.time() - t0
 
     t0 = time.time()
-    out = compress(data, level=LEVEL, parallel=N_BLOCKS)
+    out = compress(data, level=LEVEL, parallel=BATCH)
     dt = time.time() - t0
     if stdlib_bz2.decompress(out) != data:
         print(json.dumps({"metric": "compress_throughput", "value": 0.0,

@@ -93,8 +93,26 @@ def huff_pack_stage(symbols, n_sym, freqs, n_in_use):
     return jax.vmap(one)(symbols, n_sym, freqs, n_in_use)
 
 
+def add_meta(out):
+    """Bundle the per-block scalars into one (B, 6) array so the host pulls
+    them in a single transfer (each fetch is an RPC on remote terminals).
+    Layout: orig_ptr, n_sym, n_in_use, n_groups, n_selectors, total_bits."""
+    out["meta"] = jnp.stack(
+        [
+            out["orig_ptr"],
+            out["n_sym"],
+            out["n_in_use"],
+            out["n_groups"],
+            out["n_selectors"],
+            out["total_bits"],
+        ],
+        axis=-1,
+    ).astype(jnp.int32)
+    return out
+
+
 def encode_blocks_staged(blocks, ns, *, mtf_chunk: int = 8192):
-    """Same result pytree as encode_blocks, via the three staged jits."""
+    """Same result pytree as encode_blocks (plus 'meta'), via staged jits."""
     last, orig_ptr = bwt_stage(blocks, ns)
     mtf = mtf_stage(last, ns, mtf_chunk=mtf_chunk)
     out = huff_pack_stage(mtf["symbols"], mtf["n_sym"], mtf["freqs"], mtf["n_in_use"])
@@ -103,4 +121,4 @@ def encode_blocks_staged(blocks, ns, *, mtf_chunk: int = 8192):
     out["used"] = mtf["used"]
     out["n_sym"] = mtf["n_sym"]
     out["n_in_use"] = mtf["n_in_use"]
-    return out
+    return add_meta(out)

@@ -18,7 +18,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from bz2tpu.ops.pipeline import bwt_stage, huff_pack_stage, mtf_stage
+from bz2tpu.ops.pipeline import add_meta, bwt_stage, huff_pack_stage, mtf_stage
 
 
 def block_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -86,4 +86,4 @@ def encode_blocks_sharded(blocks, ns, *, mesh: Mesh, mtf_chunk: int = 8192):
     out["used"] = mtf["used"]
     out["n_sym"] = mtf["n_sym"]
     out["n_in_use"] = mtf["n_in_use"]
-    return out
+    return add_meta(out)

@@ -145,18 +145,19 @@ def _encode_batches(blocks: list[Rle1Block], capacity: int, batch: int):
             ns[i] = blk.data.size
         return len(chunk), run(jnp.asarray(buf), jnp.asarray(ns))
 
+    META = ("orig_ptr", "n_sym", "n_in_use", "n_groups", "n_selectors", "total_bits")
     pending = dispatch(bases[0]) if bases else None
     for bi, base in enumerate(bases):
         n_chunk, out = pending
         pending = dispatch(bases[bi + 1]) if bi + 1 < len(bases) else None
-        small = {
-            k: np.asarray(v)
-            for k, v in out.items()
-            if k != "words"
-        }
+        # Four fetches per batch: packed scalars + the three small arrays
+        # the header writer needs (each fetch is an RPC round trip).
+        meta = np.asarray(out["meta"])
+        small = {k: np.asarray(out[k]) for k in ("used", "selector_mtf", "lengths")}
         for i in range(n_chunk):
-            row = {k: v[i] for k, v in small.items()}
-            row["words"] = _fetch_words(out["words"], i, int(small["total_bits"][i]))
+            row = {k: int(meta[i, j]) for j, k in enumerate(META)}
+            row.update({k: v[i] for k, v in small.items()})
+            row["words"] = _fetch_words(out["words"], i, row["total_bits"])
             yield row
 
 
