@@ -340,32 +340,52 @@ static PyObject *py_decode_stream(PyObject *self, PyObject *args, PyObject *kwar
     uint8_t *bwt = NULL;
     int32_t *tvec = NULL;
     DecErr e = {NULL, 0};
+    int alloc_block = 0;
+    int first_member = 1;
 
-    uint32_t magic, level_ch;
-    if (br_read(&br, 24, &magic) || magic != 0x425A68u) { e.err = "bad stream magic (expected BZh)"; goto fail; }
-    if (br_read(&br, 8, &level_ch)) { e.err = "truncated header"; goto fail; }
-    int level = (int)level_ch - '0';
-    if (level < 1 || level > 9) { e.err = "bad block-size level"; goto fail; }
-    int max_block = level * 100000;
-    bwt = (uint8_t *)malloc((size_t)max_block);
-    tvec = (int32_t *)malloc(sizeof(int32_t) * (size_t)max_block);
-    if (!bwt || !tvec) { e.err = "out of memory"; goto fail; }
-
-    uint32_t stream_crc = 0;
+    /* Multi-member streams: like stock bzip2 / stdlib bz2, keep decoding
+       while the (byte-aligned) remainder begins a valid stream header;
+       other trailing bytes are ignored. */
     for (;;) {
-        uint64_t marker;
-        if (br_read48(&br, &marker)) { e.err = "truncated stream"; goto fail; }
-        if (marker == STREAM_END) {
-            uint32_t stored;
-            if (br_read(&br, 32, &stored)) { e.err = "truncated stream CRC"; goto fail; }
-            if (verify_crc && stored != stream_crc) { e.crc_mismatch = 1; e.err = "stream CRC mismatch"; goto fail; }
-            break;
+        if (!first_member) {
+            br.pos = (br.pos + 7) & ~(size_t)7;
+            if (br.pos + 32 > br.nbytes * 8) break;
+            const uint8_t *p = br.data + (br.pos >> 3);
+            if (!(p[0] == 'B' && p[1] == 'Z' && p[2] == 'h' && p[3] >= '1' && p[3] <= '9'))
+                break;
         }
-        if (marker != BLOCK_HEADER) { e.err = "bad block marker"; goto fail; }
-        Py_BEGIN_ALLOW_THREADS
-        decode_one_block(&br, max_block, verify_crc, &stream_crc, &out, &e, bwt, tvec);
-        Py_END_ALLOW_THREADS
-        if (e.err) goto fail;
+        uint32_t magic, level_ch;
+        if (br_read(&br, 24, &magic) || magic != 0x425A68u) { e.err = "bad stream magic (expected BZh)"; goto fail; }
+        if (br_read(&br, 8, &level_ch)) { e.err = "truncated header"; goto fail; }
+        int level = (int)level_ch - '0';
+        if (level < 1 || level > 9) { e.err = "bad block-size level"; goto fail; }
+        int max_block = level * 100000;
+        if (max_block > alloc_block) {
+            uint8_t *nb = (uint8_t *)realloc(bwt, (size_t)max_block);
+            int32_t *nt = (int32_t *)realloc(tvec, sizeof(int32_t) * (size_t)max_block);
+            if (nb) bwt = nb;
+            if (nt) tvec = nt;
+            if (!nb || !nt) { e.err = "out of memory"; goto fail; }
+            alloc_block = max_block;
+        }
+        first_member = 0;
+
+        uint32_t stream_crc = 0;
+        for (;;) {
+            uint64_t marker;
+            if (br_read48(&br, &marker)) { e.err = "truncated stream"; goto fail; }
+            if (marker == STREAM_END) {
+                uint32_t stored;
+                if (br_read(&br, 32, &stored)) { e.err = "truncated stream CRC"; goto fail; }
+                if (verify_crc && stored != stream_crc) { e.crc_mismatch = 1; e.err = "stream CRC mismatch"; goto fail; }
+                break;
+            }
+            if (marker != BLOCK_HEADER) { e.err = "bad block marker"; goto fail; }
+            Py_BEGIN_ALLOW_THREADS
+            decode_one_block(&br, max_block, verify_crc, &stream_crc, &out, &e, bwt, tvec);
+            Py_END_ALLOW_THREADS
+            if (e.err) goto fail;
+        }
     }
 
     free(bwt);

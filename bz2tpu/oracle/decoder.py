@@ -267,13 +267,36 @@ def decompress(stream: bytes | np.ndarray, verify_crc: bool = True) -> bytes:
 
 def _decompress_inner(stream: bytes | np.ndarray, verify_crc: bool) -> bytes:
     r = BitReader(stream)
-    if r.read_bits(24) != int.from_bytes(C.STREAM_MAGIC, "big"):
-        raise Bz2FormatError("bad stream magic (expected BZh)")
-    level = r.read_bits(8) - ord("0")
-    if not C.MIN_LEVEL <= level <= C.MAX_LEVEL:
-        raise Bz2FormatError(f"bad block-size level {level}")
-    max_block = C.BLOCK_SIZE_BASE * level
     out_parts: list[np.ndarray] = []
+    first_member = True
+    # Multi-member streams: like stock bzip2 / stdlib bz2, keep decoding
+    # while the byte-aligned remainder begins a valid stream header; other
+    # trailing bytes are ignored.
+    while True:
+        if not first_member:
+            r.align_to_byte()
+            if r.bits_remaining < 32:
+                break
+            mark = r.bit_position
+            magic = r.read_bits(24)
+            lvl_ch = r.read_bits(8)
+            r._pos = mark
+            if magic != int.from_bytes(C.STREAM_MAGIC, "big") or not (
+                ord("1") <= lvl_ch <= ord("9")
+            ):
+                break
+        if r.read_bits(24) != int.from_bytes(C.STREAM_MAGIC, "big"):
+            raise Bz2FormatError("bad stream magic (expected BZh)")
+        level = r.read_bits(8) - ord("0")
+        if not C.MIN_LEVEL <= level <= C.MAX_LEVEL:
+            raise Bz2FormatError(f"bad block-size level {level}")
+        first_member = False
+        _decode_member(r, level, verify_crc, out_parts)
+    return (np.concatenate(out_parts) if out_parts else np.zeros(0, dtype=np.uint8)).tobytes()
+
+
+def _decode_member(r: BitReader, level: int, verify_crc: bool, out_parts: list) -> None:
+    max_block = C.BLOCK_SIZE_BASE * level
     s_crc = 0
     while True:
         marker = r.read_bits(48)
@@ -311,7 +334,6 @@ def _decompress_inner(stream: bytes | np.ndarray, verify_crc: bool) -> bytes:
                 raise Bz2CrcError(f"block CRC mismatch: {block_crc:#x} != {got:#x}")
         s_crc = stream_crc_fold(s_crc, block_crc)
         out_parts.append(decoded)
-    return (np.concatenate(out_parts) if out_parts else np.zeros(0, dtype=np.uint8)).tobytes()
 
 
 def _derandomise(data: np.ndarray) -> np.ndarray:

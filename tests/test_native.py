@@ -106,3 +106,19 @@ def test_scan_blocks_offsets(rng):
     assert len(out) > 0
     if len(headers) > 1:
         assert end_bit == headers[1]
+
+
+def test_multi_member_streams(rng):
+    # Stock bzip2 / stdlib bz2 decode concatenated members; so do we, in
+    # both decoders, including mixed levels and ignored trailing garbage.
+    from bz2tpu.oracle.decoder import decompress as np_dec
+
+    a = make_corpus(rng, "text", 40_000)
+    b = make_corpus(rng, "runs", 30_000)
+    comp = stdlib_bz2.compress(a, 1) + stdlib_bz2.compress(b, 9)
+    assert native.decode_stream(comp) == a + b
+    assert np_dec(comp) == a + b
+    assert decompress(comp) == a + b
+    # trailing garbage after a complete member is ignored (stdlib parity)
+    assert native.decode_stream(comp + b"garbage") == a + b
+    assert np_dec(comp + b"garbage") == a + b
