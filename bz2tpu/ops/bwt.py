@@ -78,12 +78,15 @@ def bwt_encode(block: jnp.ndarray, n: jnp.ndarray, *, capacity: int | None = Non
     pair2 = pair0[wrap(2)]
     key_r = jnp.where(valid, pair0, 65536 + iota)
     key_s = jnp.where(valid, pair2, -1)
-    key_r, key_s, order = lax.sort((key_r, key_s, iota), num_keys=2, is_stable=True)
+    # Rounds use UNSTABLE sorts (a stable TPU sort costs ~1.5x): re-ranking
+    # only needs key equality groups, and when ranks end up all-distinct
+    # the final order has no ties for stability to matter.
+    key_r, key_s, order = lax.sort((key_r, key_s, iota), num_keys=2)
     rank = _rerank(order, key_r, key_s)
 
     def round_(rank, k):
         second = jnp.where(valid, rank[wrap(k)], -1)
-        key_r, key_s, order = lax.sort((rank, second, iota), num_keys=2, is_stable=True)
+        key_r, key_s, order = lax.sort((rank, second, iota), num_keys=2)
         return _rerank(order, key_r, key_s), order
 
     def cond(state):
@@ -96,7 +99,17 @@ def bwt_encode(block: jnp.ndarray, n: jnp.ndarray, *, capacity: int | None = Non
         rank, order = round_(rank, k)
         return rank, order, k * 2
 
-    _, sa, _ = lax.while_loop(cond, body, (rank, order, jnp.int32(4)))
+    rank, sa, _ = lax.while_loop(cond, body, (rank, order, jnp.int32(4)))
+
+    # Periodic blocks exit with tied ranks (bit-identical rotations); only
+    # then pay one stable tie-break sort so identical rotations stay in
+    # index order (matching the scalar oracle).
+    sa = lax.cond(
+        jnp.max(rank) == cap - 1,
+        lambda args: args[1],
+        lambda args: lax.sort((args[0], iota), num_keys=1, is_stable=True)[1],
+        (rank, sa),
+    )
 
     orig_ptr = jnp.argmax(sa == 0).astype(jnp.int32)
     last = jnp.where(valid, block[(sa - 1) % n], 0).astype(jnp.uint8)

@@ -80,33 +80,32 @@ def _block_header_bits(
     return np.frombuffer(w.getvalue(), dtype=np.uint8), w.bit_length
 
 
-_SLICE_GRANULE = 1 << 16  # words; bounds distinct compiled slice shapes
+_SLICE_GRANULE = 1 << 14  # words; bounds distinct compiled slice shapes
 
 
 @functools.lru_cache(maxsize=None)
 def _word_slicer(nwords: int):
     import jax
 
-    return jax.jit(
-        lambda w, i: jax.lax.dynamic_slice(w, (i, 0), (1, nwords))[0],
-        static_argnames=(),
-    )
+    return jax.jit(lambda w: jax.lax.dynamic_slice_in_dim(w, 0, nwords, axis=1))
 
 
-def _fetch_words(words_dev, row: int, total_bits: int) -> np.ndarray:
-    """Fetch only the compressed prefix of one block's packed words.
+def _fetch_words_batch(words_dev, bit_counts: list[int]) -> list[np.ndarray]:
+    """Fetch every block's compressed word prefix in ONE transfer.
 
-    The device link is slow (tens of MB/s); the padded words buffer is ~25x
-    the compressed size, so fetching whole rows would dominate wall time.
-    Slice sizes are rounded to a granule so only a handful of tiny slice
-    programs ever compile.
+    The device link is slow (tens of MB/s) and each fetch is an RPC round
+    trip; the padded words buffer is ~25x the compressed size. One sliced
+    (B, max_words) pull sized by the batch's largest block costs far less
+    than either whole rows or per-row slices. Slice widths round to a
+    granule so only a handful of slice programs ever compile.
     """
-    nw = (total_bits + 31) // 32
+    nws = [(tb + 31) // 32 for tb in bit_counts]
     padded = min(
-        ((nw + _SLICE_GRANULE - 1) // _SLICE_GRANULE) * _SLICE_GRANULE,
+        ((max(nws) + _SLICE_GRANULE - 1) // _SLICE_GRANULE) * _SLICE_GRANULE,
         words_dev.shape[1],
     )
-    return np.asarray(_word_slicer(padded)(words_dev, row))[:nw]
+    rows = np.asarray(_word_slicer(padded)(words_dev))
+    return [rows[i, :nw] for i, nw in enumerate(nws)]
 
 
 def _encode_batches(blocks: list[Rle1Block], capacity: int, batch: int):
@@ -154,10 +153,13 @@ def _encode_batches(blocks: list[Rle1Block], capacity: int, batch: int):
         # the header writer needs (each fetch is an RPC round trip).
         meta = np.asarray(out["meta"])
         small = {k: np.asarray(out[k]) for k in ("used", "selector_mtf", "lengths")}
+        words = _fetch_words_batch(
+            out["words"], [int(meta[i, 5]) for i in range(n_chunk)]
+        )
         for i in range(n_chunk):
             row = {k: int(meta[i, j]) for j, k in enumerate(META)}
             row.update({k: v[i] for k, v in small.items()})
-            row["words"] = _fetch_words(out["words"], i, row["total_bits"])
+            row["words"] = words[i]
             yield row
 
 
