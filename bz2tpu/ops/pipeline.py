@@ -72,15 +72,22 @@ def mtf_stage(last, ns, *, mtf_chunk: int = 8192):
 
 
 @jax.jit
-def huff_pack_stage(symbols, n_sym, freqs, n_in_use):
+def huff_pack_stage(symbols, n_sym, freqs, n_in_use, orig_ptr):
+    """Huffman planning + packing; also bundles the per-block scalars into
+    one (B, 6) 'meta' array so the host pulls them in a single transfer
+    (each fetch is an RPC on remote terminals). Meta layout:
+    orig_ptr, n_sym, n_in_use, n_groups, n_selectors, total_bits."""
     capacity = symbols.shape[-1] - 2
     maxsel = max_selectors(capacity)
 
-    def one(sym, nsym, fr, niu):
+    def one(sym, nsym, fr, niu, optr):
         plan = huffman_assign(sym, nsym, fr, niu, maxsel=maxsel)
         words, total_bits = pack_symbol_data(
             sym, plan["selectors"], plan["lengths"], plan["codes"], maxsel=maxsel
         )
+        meta = jnp.stack(
+            [optr, nsym, niu, plan["n_groups"], plan["n_selectors"], total_bits]
+        ).astype(jnp.int32)
         return {
             "n_groups": plan["n_groups"],
             "n_selectors": plan["n_selectors"],
@@ -88,37 +95,22 @@ def huff_pack_stage(symbols, n_sym, freqs, n_in_use):
             "lengths": plan["lengths"].astype(jnp.uint8),
             "words": words,
             "total_bits": total_bits,
+            "meta": meta,
         }
 
-    return jax.vmap(one)(symbols, n_sym, freqs, n_in_use)
-
-
-def add_meta(out):
-    """Bundle the per-block scalars into one (B, 6) array so the host pulls
-    them in a single transfer (each fetch is an RPC on remote terminals).
-    Layout: orig_ptr, n_sym, n_in_use, n_groups, n_selectors, total_bits."""
-    out["meta"] = jnp.stack(
-        [
-            out["orig_ptr"],
-            out["n_sym"],
-            out["n_in_use"],
-            out["n_groups"],
-            out["n_selectors"],
-            out["total_bits"],
-        ],
-        axis=-1,
-    ).astype(jnp.int32)
-    return out
+    return jax.vmap(one)(symbols, n_sym, freqs, n_in_use, orig_ptr)
 
 
 def encode_blocks_staged(blocks, ns, *, mtf_chunk: int = 8192):
     """Same result pytree as encode_blocks (plus 'meta'), via staged jits."""
     last, orig_ptr = bwt_stage(blocks, ns)
     mtf = mtf_stage(last, ns, mtf_chunk=mtf_chunk)
-    out = huff_pack_stage(mtf["symbols"], mtf["n_sym"], mtf["freqs"], mtf["n_in_use"])
+    out = huff_pack_stage(
+        mtf["symbols"], mtf["n_sym"], mtf["freqs"], mtf["n_in_use"], orig_ptr
+    )
     out = dict(out)
     out["orig_ptr"] = orig_ptr
     out["used"] = mtf["used"]
     out["n_sym"] = mtf["n_sym"]
     out["n_in_use"] = mtf["n_in_use"]
-    return add_meta(out)
+    return out

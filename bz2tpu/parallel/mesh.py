@@ -18,7 +18,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from bz2tpu.ops.pipeline import add_meta, bwt_stage, huff_pack_stage, mtf_stage
+from bz2tpu.ops.pipeline import bwt_stage, huff_pack_stage, mtf_stage
 
 
 def block_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -63,7 +63,7 @@ def _sharded_stages(mesh: Mesh, mtf_chunk: int):
     return (
         sm(bwt_stage, 2),
         sm(functools.partial(mtf_stage, mtf_chunk=mtf_chunk), 2),
-        sm(huff_pack_stage, 4),
+        sm(huff_pack_stage, 5),
     )
 
 
@@ -80,10 +80,10 @@ def encode_blocks_sharded(blocks, ns, *, mesh: Mesh, mtf_chunk: int = 8192):
     last, orig_ptr = bwt_s(blocks, ns)
     mtf = mtf_s(last, ns)
     out = dict(
-        huff_s(mtf["symbols"], mtf["n_sym"], mtf["freqs"], mtf["n_in_use"])
+        huff_s(mtf["symbols"], mtf["n_sym"], mtf["freqs"], mtf["n_in_use"], orig_ptr)
     )
     out["orig_ptr"] = orig_ptr
     out["used"] = mtf["used"]
     out["n_sym"] = mtf["n_sym"]
     out["n_in_use"] = mtf["n_in_use"]
-    return add_meta(out)
+    return out

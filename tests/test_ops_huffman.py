@@ -117,3 +117,28 @@ def test_plan_vs_oracle(rng, kind, size):
     np.testing.assert_array_equal(
         np.asarray(got["codes"])[:n_groups, : mtf.alpha_size], want.codes
     )
+
+
+def test_plan_concentrated_frequencies(rng):
+    # One dominant symbol: seeding consumes nearly all frequency in the
+    # first span, later spans may be empty; plan must still be valid and
+    # the stream must round-trip.
+    import bz2 as stdlib_bz2
+
+    from bz2tpu.oracle import compress as oracle_compress
+
+    data = bytes([65] * 5000 + list(rng.integers(0, 256, 50)) + [65] * 5000)
+    out = oracle_compress(data, level=1)
+    assert stdlib_bz2.decompress(out) == data
+
+
+def test_plan_exact_group_boundary(rng):
+    # n_sym exactly divisible by 50 and exactly at table-count thresholds.
+    from bz2tpu.format.constants import table_count_for_symbols
+    from bz2tpu.ops.huffman import table_count
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    for n in (1, 199, 200, 599, 600, 1199, 1200, 2399, 2400, 10**6):
+        assert int(table_count(jnp.int32(n))) == table_count_for_symbols(n)

@@ -1,0 +1,56 @@
+"""utils: metrics, device info, profiling, distributed no-op."""
+
+import json
+import time
+
+import jax
+
+
+def test_run_metrics_json():
+    from bz2tpu.utils.metrics import RunMetrics
+
+    m = RunMetrics(op="compress", level=9)
+    m.input_bytes, m.output_bytes = 1000, 100
+    with m.stage("bwt"):
+        time.sleep(0.01)
+    m.seconds = 0.5
+    d = json.loads(m.to_json())
+    assert d["ratio"] == 0.1
+    assert d["mb_per_s"] == 0.002
+    assert d["stages"]["bwt"] >= 0.01
+
+
+def test_clock():
+    from bz2tpu.utils.metrics import Clock
+
+    c = Clock()
+    time.sleep(0.01)
+    assert c.elapsed() >= 0.01
+
+
+def test_device_info():
+    from bz2tpu.utils.device import device_info, print_device_banner
+
+    infos = device_info()
+    assert len(infos) == len(jax.devices())
+    assert all("platform" in i for i in infos)
+    import io
+
+    buf = io.StringIO()
+    print_device_banner(file=buf)
+    assert "device" in buf.getvalue()
+
+
+def test_device_trace_noop():
+    from bz2tpu.utils.profiling import device_trace, fence
+
+    with device_trace(None):
+        x = jax.numpy.ones(8) * 2
+    fence(x)
+
+
+def test_distributed_single_process_noop():
+    from bz2tpu.parallel.distributed import initialize, is_primary
+
+    initialize()  # no coordinator -> no-op
+    assert is_primary()
