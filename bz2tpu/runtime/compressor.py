@@ -100,10 +100,13 @@ def _fetch_words_batch(words_dev, bit_counts: list[int]) -> list[np.ndarray]:
     granule so only a handful of slice programs ever compile.
     """
     nws = [(tb + 31) // 32 for tb in bit_counts]
-    padded = min(
-        ((max(nws) + _SLICE_GRANULE - 1) // _SLICE_GRANULE) * _SLICE_GRANULE,
-        words_dev.shape[1],
-    )
+    # Power-of-two widths: every distinct width compiles a (tiny) slice
+    # program, which costs ~tens of seconds on the remote terminal — one
+    # width per octave keeps that to a handful per stream.
+    padded = _SLICE_GRANULE
+    while padded < max(nws):
+        padded *= 2
+    padded = min(padded, words_dev.shape[1])
     rows = np.asarray(_word_slicer(padded)(words_dev))
     return [rows[i, :nw] for i, nw in enumerate(nws)]
 
