@@ -113,6 +113,7 @@ typedef struct {
 } HuffTable;
 
 static const char *build_table(const uint8_t *lengths, int alpha, HuffTable *t) {
+    memset(t, 0, sizeof(*t)); /* deterministic base[]/perm[] on every path */
     int min_l = 32, max_l = 0;
     for (int i = 0; i < alpha; i++) {
         if (lengths[i] < min_l) min_l = lengths[i];
@@ -342,10 +343,13 @@ static PyObject *py_decode_stream(PyObject *self, PyObject *args, PyObject *kwar
     DecErr e = {NULL, 0};
     int alloc_block = 0;
     int first_member = 1;
+    int members_done = 0;
+    size_t member_start_len = 0;
 
     /* Multi-member streams: like stock bzip2 / stdlib bz2, keep decoding
-       while the (byte-aligned) remainder begins a valid stream header;
-       other trailing bytes are ignored. */
+       while the (byte-aligned) remainder begins a valid stream header; any
+       undecodable trailing data after >= 1 complete member is ignored
+       (stdlib parity — including junk that merely starts with "BZh<d>"). */
     for (;;) {
         if (!first_member) {
             br.pos = (br.pos + 7) & ~(size_t)7;
@@ -354,6 +358,7 @@ static PyObject *py_decode_stream(PyObject *self, PyObject *args, PyObject *kwar
             if (!(p[0] == 'B' && p[1] == 'Z' && p[2] == 'h' && p[3] >= '1' && p[3] <= '9'))
                 break;
         }
+        member_start_len = out.len; /* rollback point for trailing junk */
         uint32_t magic, level_ch;
         if (br_read(&br, 24, &magic) || magic != 0x425A68u) { e.err = "bad stream magic (expected BZh)"; goto fail; }
         if (br_read(&br, 8, &level_ch)) { e.err = "truncated header"; goto fail; }
@@ -386,8 +391,10 @@ static PyObject *py_decode_stream(PyObject *self, PyObject *args, PyObject *kwar
             Py_END_ALLOW_THREADS
             if (e.err) goto fail;
         }
+        members_done++;
     }
 
+success:
     free(bwt);
     free(tvec);
     PyBuffer_Release(&view);
@@ -396,6 +403,12 @@ static PyObject *py_decode_stream(PyObject *self, PyObject *args, PyObject *kwar
     return res;
 
 fail:
+    if (members_done > 0 && e.err && strcmp(e.err, "out of memory") != 0) {
+        /* Undecodable data after >= 1 complete member: discard the partial
+           member and return what decoded (stdlib bz2 parity). */
+        out.len = member_start_len;
+        goto success;
+    }
     free(bwt);
     free(tvec);
     free(out.buf);

@@ -16,10 +16,11 @@ Round structure (cost = one 3-operand lexicographic sort per round):
   round 0 sorts (2-byte pair at i, 2-byte pair at i+2) -> rank over FOUR
   characters (the reference's sortTypeBstar similarly radix-sorts by the
   first two bytes, kernel.cpp:2152-2335); subsequent rounds double k from
-  4. Every sort is stable with the rotation index as payload, so the order
-  emerging from the final round IS the suffix array — including the
-  periodic-block case, where bit-identical rotations stay in index order
-  (any consistent order of identical rotations yields a valid BWT).
+  4. Sorts are unstable 3-key sorts with the rotation index as the last
+  key, so the order emerging from the final round IS the suffix array —
+  including the periodic-block case, where bit-identical rotations land in
+  index order (any consistent order of identical rotations yields a valid
+  BWT).
 
 All shapes are static: a block is a (capacity,) uint8 array plus a valid
 length scalar. Padding positions are assigned distinct sort keys strictly
@@ -78,15 +79,17 @@ def bwt_encode(block: jnp.ndarray, n: jnp.ndarray, *, capacity: int | None = Non
     pair2 = pair0[wrap(2)]
     key_r = jnp.where(valid, pair0, 65536 + iota)
     key_s = jnp.where(valid, pair2, -1)
-    # Rounds use UNSTABLE sorts (a stable TPU sort costs ~1.5x): re-ranking
-    # only needs key equality groups, and when ranks end up all-distinct
-    # the final order has no ties for stability to matter.
-    key_r, key_s, order = lax.sort((key_r, key_s, iota), num_keys=2)
+    # Rounds use UNSTABLE sorts (a stable TPU sort costs ~1.5x) with the
+    # rotation index as a THIRD sort key: ties on (rank, second) — possible
+    # only for bit-identical rotations of periodic blocks — break by index
+    # deterministically, so the final round's order is always the suffix
+    # array (matching the scalar oracle) with no extra tie-break pass.
+    key_r, key_s, order = lax.sort((key_r, key_s, iota), num_keys=3)
     rank = _rerank(order, key_r, key_s)
 
     def round_(rank, k):
         second = jnp.where(valid, rank[wrap(k)], -1)
-        key_r, key_s, order = lax.sort((rank, second, iota), num_keys=2)
+        key_r, key_s, order = lax.sort((rank, second, iota), num_keys=3)
         return _rerank(order, key_r, key_s), order
 
     def cond(state):
@@ -99,17 +102,7 @@ def bwt_encode(block: jnp.ndarray, n: jnp.ndarray, *, capacity: int | None = Non
         rank, order = round_(rank, k)
         return rank, order, k * 2
 
-    rank, sa, _ = lax.while_loop(cond, body, (rank, order, jnp.int32(4)))
-
-    # Periodic blocks exit with tied ranks (bit-identical rotations); only
-    # then pay one stable tie-break sort so identical rotations stay in
-    # index order (matching the scalar oracle).
-    sa = lax.cond(
-        jnp.max(rank) == cap - 1,
-        lambda args: args[1],
-        lambda args: lax.sort((args[0], iota), num_keys=1, is_stable=True)[1],
-        (rank, sa),
-    )
+    _, sa, _ = lax.while_loop(cond, body, (rank, order, jnp.int32(4)))
 
     orig_ptr = jnp.argmax(sa == 0).astype(jnp.int32)
     last = jnp.where(valid, block[(sa - 1) % n], 0).astype(jnp.uint8)

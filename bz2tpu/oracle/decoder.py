@@ -270,8 +270,9 @@ def _decompress_inner(stream: bytes | np.ndarray, verify_crc: bool) -> bytes:
     out_parts: list[np.ndarray] = []
     first_member = True
     # Multi-member streams: like stock bzip2 / stdlib bz2, keep decoding
-    # while the byte-aligned remainder begins a valid stream header; other
-    # trailing bytes are ignored.
+    # while the byte-aligned remainder begins a valid stream header; any
+    # undecodable trailing data after >= 1 complete member is ignored
+    # (stdlib parity — including junk that merely starts with "BZh<d>").
     while True:
         if not first_member:
             r.align_to_byte()
@@ -285,13 +286,20 @@ def _decompress_inner(stream: bytes | np.ndarray, verify_crc: bool) -> bytes:
                 ord("1") <= lvl_ch <= ord("9")
             ):
                 break
-        if r.read_bits(24) != int.from_bytes(C.STREAM_MAGIC, "big"):
-            raise Bz2FormatError("bad stream magic (expected BZh)")
-        level = r.read_bits(8) - ord("0")
-        if not C.MIN_LEVEL <= level <= C.MAX_LEVEL:
-            raise Bz2FormatError(f"bad block-size level {level}")
+        checkpoint = len(out_parts)
+        try:
+            if r.read_bits(24) != int.from_bytes(C.STREAM_MAGIC, "big"):
+                raise Bz2FormatError("bad stream magic (expected BZh)")
+            level = r.read_bits(8) - ord("0")
+            if not C.MIN_LEVEL <= level <= C.MAX_LEVEL:
+                raise Bz2FormatError(f"bad block-size level {level}")
+            _decode_member(r, level, verify_crc, out_parts)
+        except (Bz2FormatError, Bz2CrcError, EOFError):
+            if first_member:
+                raise
+            del out_parts[checkpoint:]  # discard the partial trailing member
+            break
         first_member = False
-        _decode_member(r, level, verify_crc, out_parts)
     return (np.concatenate(out_parts) if out_parts else np.zeros(0, dtype=np.uint8)).tobytes()
 
 

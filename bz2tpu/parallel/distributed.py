@@ -17,20 +17,28 @@ def initialize(
     num_processes: int | None = None,
     process_id: int | None = None,
 ) -> None:
-    """Initialize jax.distributed (no-op for single-process runs).
+    """Initialize jax.distributed.
 
-    With no arguments, relies on the environment (TPU pod metadata or
-    JAX_COORDINATOR_ADDRESS etc.), matching jax.distributed.initialize.
+    With no arguments, attempts environment auto-detection (TPU pod
+    metadata, cluster env vars) exactly like jax.distributed.initialize;
+    a plain single-process environment with nothing to detect degrades to
+    a no-op instead of raising. Explicit arguments always propagate errors.
     """
     import jax
 
-    if num_processes in (None, 1) and coordinator_address is None:
-        return  # single-process: nothing to initialize
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    if num_processes == 1:
+        return
+    explicit = any(v is not None for v in (coordinator_address, num_processes, process_id))
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        if explicit:
+            raise
+        # No cluster environment detected: single-process run.
 
 
 def is_primary() -> bool:

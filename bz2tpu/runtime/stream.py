@@ -176,13 +176,18 @@ def compress_file(
     parallel: int | None = None,
     metrics=None,
 ) -> None:
-    """Stream-compress a file; the output appears atomically (temp +
-    rename), so a failure mid-run never leaves a truncated .bz2 behind."""
+    """Stream-compress a file; the output appears atomically (unique temp +
+    rename), so a failure mid-run never leaves a truncated .bz2 behind and
+    concurrent compressions to the same path cannot clobber each other."""
     import os
+    import tempfile
 
-    tmp_path = out_path + ".bz2tpu-tmp"
+    out_dir = os.path.dirname(os.path.abspath(out_path)) or "."
+    fd, tmp_path = tempfile.mkstemp(
+        prefix=os.path.basename(out_path) + ".", suffix=".bz2tpu-tmp", dir=out_dir
+    )
     try:
-        with open(in_path, "rb") as fin, open(tmp_path, "wb") as fout:
+        with open(in_path, "rb") as fin, os.fdopen(fd, "wb") as fout:
             compress_stream(fin, fout, level=level, parallel=parallel, metrics=metrics)
         os.replace(tmp_path, out_path)
     finally:

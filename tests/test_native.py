@@ -122,3 +122,23 @@ def test_multi_member_streams(rng):
     # trailing garbage after a complete member is ignored (stdlib parity)
     assert native.decode_stream(comp + b"garbage") == a + b
     assert np_dec(comp + b"garbage") == a + b
+
+
+def test_trailing_bzh_prefixed_garbage(rng):
+    # stdlib ignores ANY undecodable trailing data once >= 1 member decoded,
+    # including junk that merely starts with a plausible "BZh9" header.
+    from bz2tpu.oracle.decoder import decompress as np_dec
+
+    data = make_corpus(rng, "text", 20_000)
+    comp = stdlib_bz2.compress(data, 1)
+    junk = comp + b"BZh9 definitely not a stream"
+    assert stdlib_bz2.decompress(junk) == data  # stdlib reference behavior
+    assert native.decode_stream(junk) == data
+    assert np_dec(junk) == data
+    # But a corrupt FIRST member still raises everywhere.
+    bad = bytearray(comp)
+    bad[8] ^= 0xFF
+    with pytest.raises(ValueError):
+        native.decode_stream(bytes(bad))
+    with pytest.raises(ValueError):
+        np_dec(bytes(bad))
