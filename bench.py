@@ -65,6 +65,15 @@ def main() -> int:
     stock_dt = time.time() - t0
     stock_mbps = nbytes / stock_dt / 1e6
 
+    from bz2tpu.runtime.decompressor import decompress as our_decompress
+
+    t0 = time.time()
+    our_decompress(out)
+    dec_mbps = nbytes / (time.time() - t0) / 1e6
+    t0 = time.time()
+    stdlib_bz2.decompress(out)
+    stock_dec_mbps = nbytes / (time.time() - t0) / 1e6
+
     print(json.dumps({
         "metric": "compress_throughput",
         "value": round(ours, 3),
@@ -76,6 +85,8 @@ def main() -> int:
             "ratio": round(len(out) / nbytes, 4),
             "stock_ratio": round(len(stock) / nbytes, 4),
             "stock_mb_s": round(stock_mbps, 3),
+            "decompress_mb_s": round(dec_mbps, 3),
+            "stock_decompress_mb_s": round(stock_dec_mbps, 3),
             "warmup_s": round(warm_s, 1),
         },
     }))

@@ -72,15 +72,17 @@ def mtf_stage(last, ns, *, mtf_chunk: int = 8192):
 
 
 @jax.jit
-def huff_pack_stage(symbols, n_sym, freqs, n_in_use, orig_ptr):
+def huff_pack_stage(symbols, n_sym, freqs, n_in_use, orig_ptr, used):
     """Huffman planning + packing; also bundles the per-block scalars into
-    one (B, 6) 'meta' array so the host pulls them in a single transfer
-    (each fetch is an RPC on remote terminals). Meta layout:
-    orig_ptr, n_sym, n_in_use, n_groups, n_selectors, total_bits."""
+    one (B, 6) 'meta' array and the header-writer inputs into one uint8
+    'header_blob' so the host pulls each in a single transfer (every fetch
+    is an RPC on remote terminals). Meta layout: orig_ptr, n_sym, n_in_use,
+    n_groups, n_selectors, total_bits. Blob: used(256) | lengths(6*258) |
+    selector_mtf(maxsel)."""
     capacity = symbols.shape[-1] - 2
     maxsel = max_selectors(capacity)
 
-    def one(sym, nsym, fr, niu, optr):
+    def one(sym, nsym, fr, niu, optr, usd):
         plan = huffman_assign(sym, nsym, fr, niu, maxsel=maxsel)
         words, total_bits = pack_symbol_data(
             sym, plan["selectors"], plan["lengths"], plan["codes"], maxsel=maxsel
@@ -96,9 +98,18 @@ def huff_pack_stage(symbols, n_sym, freqs, n_in_use, orig_ptr):
             "words": words,
             "total_bits": total_bits,
             "meta": meta,
+            # Everything the host-side header writer needs, in ONE uint8
+            # buffer per block (single fetch): used map | lengths | sel_mtf.
+            "header_blob": jnp.concatenate(
+                [
+                    usd.astype(jnp.uint8),  # 256
+                    plan["lengths"].astype(jnp.uint8).reshape(-1),  # 6*258
+                    plan["selector_mtf"].astype(jnp.uint8),  # maxsel
+                ]
+            ),
         }
 
-    return jax.vmap(one)(symbols, n_sym, freqs, n_in_use, orig_ptr)
+    return jax.vmap(one)(symbols, n_sym, freqs, n_in_use, orig_ptr, used)
 
 
 def encode_blocks_staged(blocks, ns, *, mtf_chunk: int = 8192):
@@ -106,7 +117,8 @@ def encode_blocks_staged(blocks, ns, *, mtf_chunk: int = 8192):
     last, orig_ptr = bwt_stage(blocks, ns)
     mtf = mtf_stage(last, ns, mtf_chunk=mtf_chunk)
     out = huff_pack_stage(
-        mtf["symbols"], mtf["n_sym"], mtf["freqs"], mtf["n_in_use"], orig_ptr
+        mtf["symbols"], mtf["n_sym"], mtf["freqs"], mtf["n_in_use"], orig_ptr,
+        mtf["used"],
     )
     out = dict(out)
     out["orig_ptr"] = orig_ptr

@@ -63,7 +63,7 @@ def _sharded_stages(mesh: Mesh, mtf_chunk: int):
     return (
         sm(bwt_stage, 2),
         sm(functools.partial(mtf_stage, mtf_chunk=mtf_chunk), 2),
-        sm(huff_pack_stage, 5),
+        sm(huff_pack_stage, 6),
     )
 
 
@@ -80,7 +80,7 @@ def encode_blocks_sharded(blocks, ns, *, mesh: Mesh, mtf_chunk: int = 8192):
     last, orig_ptr = bwt_s(blocks, ns)
     mtf = mtf_s(last, ns)
     out = dict(
-        huff_s(mtf["symbols"], mtf["n_sym"], mtf["freqs"], mtf["n_in_use"], orig_ptr)
+        huff_s(mtf["symbols"], mtf["n_sym"], mtf["freqs"], mtf["n_in_use"], orig_ptr, mtf["used"])
     )
     out["orig_ptr"] = orig_ptr
     out["used"] = mtf["used"]

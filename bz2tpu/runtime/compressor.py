@@ -152,16 +152,19 @@ def _encode_batches(blocks: list[Rle1Block], capacity: int, batch: int):
     for bi, base in enumerate(bases):
         n_chunk, out = pending
         pending = dispatch(bases[bi + 1]) if bi + 1 < len(bases) else None
-        # Four fetches per batch: packed scalars + the three small arrays
-        # the header writer needs (each fetch is an RPC round trip).
+        # Three fetches per batch: packed scalars, the header blob
+        # (used | lengths | selector ranks), and the compressed words
+        # (each fetch is an RPC round trip).
         meta = np.asarray(out["meta"])
-        small = {k: np.asarray(out[k]) for k in ("used", "selector_mtf", "lengths")}
+        blob = np.asarray(out["header_blob"])
         words = _fetch_words_batch(
             out["words"], [int(meta[i, 5]) for i in range(n_chunk)]
         )
         for i in range(n_chunk):
             row = {k: int(meta[i, j]) for j, k in enumerate(META)}
-            row.update({k: v[i] for k, v in small.items()})
+            row["used"] = blob[i, :256].astype(bool)
+            row["lengths"] = blob[i, 256 : 256 + 6 * 258].reshape(6, 258)
+            row["selector_mtf"] = blob[i, 256 + 6 * 258 :]
             row["words"] = words[i]
             yield row
 

@@ -47,3 +47,14 @@ def test_graft_entry_dryrun():
     fn, args = g.entry()
     out = fn(*args)
     assert (np.asarray(out["total_bits"]) > 0).all()
+
+
+def test_runtime_uses_mesh_when_divisible(rng):
+    # 8-device CPU mesh + batch 8: the driver takes the shard_map path.
+    import bz2 as stdlib_bz2
+
+    from bz2tpu.runtime.compressor import compress
+
+    data = make_corpus(rng, "text", 820_000)  # ~9-10 blocks at level 1
+    out = compress(data, level=1, parallel=8)
+    assert stdlib_bz2.decompress(out) == data
