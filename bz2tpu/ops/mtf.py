@@ -165,30 +165,24 @@ def mtf_rle2_encode(
 
     out = jnp.full(cap + 2 + _MAX_RUN_DIGITS + 1, -1, jnp.int32)
     otrash = out.shape[0] - 1
-    # Run digits, one scatter for ALL digits: enumerate the digit domain
-    # j = 0..D-1 (D = total digit count), recover each digit's collapsed
-    # position k by filling digit-start markers forward, then its bit index
-    # and output slot by arithmetic — 1 scatter + 1 cummax + gathers instead
-    # of a _MAX_RUN_DIGITS-deep scatter loop over the full block.
-    dcum = jnp.cumsum(mdig) - mdig  # digit-domain start of position k
-    D = dcum[-1] + mdig[-1]
-    has_dig = k_valid & (mdig > 0)
+    # Emission without ANY output scatter: output position j belongs to the
+    # collapsed position k whose span [offsets[k], offsets[k]+emit[k]) holds
+    # j — recovered by filling span-start markers forward (one small scatter
+    # + cummax); within the span the first mdig[k] items are run digits and
+    # the last is the symbol, so out[j] is pure gather/elementwise.
+    has_emit = k_valid & (emit > 0)
     k_of = jnp.zeros(cap + 1, jnp.int32).at[
-        jnp.where(has_dig, dcum, cap)
-    ].max(jnp.where(has_dig, k_iota, 0))[:cap]
+        jnp.where(has_emit, offsets, cap)
+    ].max(jnp.where(has_emit, k_iota, 0))[:cap]
     k_of = lax.cummax(k_of)
     j_iota = k_iota
-    t_of = j_iota - dcum[k_of]
-    digit = (zp1[k_of] >> t_of) & 1
-    slot = offsets[k_of] + t_of
-    dig_valid = j_iota < D
-    out = out.at[jnp.where(dig_valid, slot, otrash)].set(
-        jnp.where(dig_valid, digit, -1)
+    t_of = j_iota - offsets[k_of]
+    body_val = jnp.where(
+        t_of < mdig[k_of],
+        (zp1[k_of] >> t_of) & 1,  # RUNA/RUNB digit t of the preceding run
+        cranks[k_of] + 1,  # the symbol itself, after its run digits
     )
-    # The symbol itself (rank+1) after its run digits.
-    out = out.at[jnp.where(sym_here, offsets + mdig, otrash)].set(
-        jnp.where(sym_here, cranks + 1, -1)
-    )
+    out = out.at[: cap].set(jnp.where(j_iota < total, body_val, -1))
     # Trailing run digits + EOB, written as one small dynamic slice at the
     # end. r0_zero with m == 1 means the whole block is one symbol: the run
     # is tail_gap + 1 zeros (position 0 included) and no symbol was emitted.
