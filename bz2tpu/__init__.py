@@ -29,3 +29,21 @@ Layers (see SURVEY.md section 7):
 __version__ = "0.1.0"
 
 from bz2tpu.format import constants  # noqa: F401
+
+
+def __getattr__(name):
+    """Top-level convenience API, imported lazily (keeps `import bz2tpu`
+    free of JAX/device initialization):
+
+        bz2tpu.compress(data, level=9)   -> bytes   (TPU pipeline)
+        bz2tpu.decompress(stream)        -> bytes   (native C / NumPy)
+    """
+    if name == "compress":
+        from bz2tpu.runtime.compressor import compress
+
+        return compress
+    if name == "decompress":
+        from bz2tpu.runtime.decompressor import decompress
+
+        return decompress
+    raise AttributeError(f"module 'bz2tpu' has no attribute {name!r}")

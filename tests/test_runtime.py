@@ -56,3 +56,12 @@ def test_stock_ratio_parity(rng):
     ours = len(tpu_compress(data, level=1))
     stock = len(stdlib_bz2.compress(data, 1))
     assert ours <= stock * 1.01
+
+
+def test_top_level_api(rng):
+    import bz2tpu
+
+    data = make_corpus(rng, "text", 20_000)
+    out = bz2tpu.compress(data, level=1)
+    assert bz2tpu.decompress(out) == data
+    assert stdlib_bz2.decompress(out) == data
