@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("file", help="input file ('-' for stdin->stdout)")
     p.add_argument("--dec", action="store_true", help="decompress")
     p.add_argument("--check", action="store_true", help="integrity check only (decode + CRC verify)")
+    p.add_argument(
+        "--recover", action="store_true",
+        help="salvage intact blocks from a damaged .bz2 (bzip2recover analog)",
+    )
     p.add_argument("--keep", action="store_true", default=True, help="keep input file (default)")
     p.add_argument("--rm", action="store_true", help="delete input file on success")
     p.add_argument("--size", type=int, default=9, metavar="1-9", help="block size level (N*100k bytes)")
@@ -69,7 +73,25 @@ def main(argv: list[str] | None = None) -> int:
     clock = Clock()
     try:
       with device_trace(args.trace):
-        if args.dec or args.check:
+        if args.recover:
+            from bz2tpu.runtime.decompressor import recover
+
+            metrics.op = "recover"
+            data = sys.stdin.buffer.read() if use_stdio else open(args.file, "rb").read()
+            result, ok, total = recover(data)
+            print(f"recovered {ok}/{total} blocks", file=sys.stderr)
+            metrics.input_bytes, metrics.output_bytes = len(data), len(result)
+            out_path = args.output or (
+                args.file[:-4] if args.file.endswith(".bz2") else args.file + ".out"
+            )
+            if use_stdio:
+                sys.stdout.buffer.write(result)
+            else:
+                with open(out_path, "wb") as f:
+                    f.write(result)
+            if ok == 0:
+                return 1
+        elif args.dec or args.check:
             metrics.op = "check" if args.check else "decompress"
             data = sys.stdin.buffer.read() if use_stdio else open(args.file, "rb").read()
             if args.backend == "oracle":

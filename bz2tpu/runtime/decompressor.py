@@ -78,6 +78,34 @@ def _decompress_parallel(stream: bytes, verify_crc: bool) -> bytes | None:
     return b"".join(r[0] for r in results)
 
 
+def recover(stream: bytes, verify_crc: bool = True) -> tuple[bytes, int, int]:
+    """Salvage intact blocks from a damaged .bz2 stream (bzip2recover
+    analog, built on the same marker scan as parallel decode).
+
+    Every 48-bit block-marker match is tried as an independent block;
+    blocks that decode (and pass their own CRC, unless verify_crc=False)
+    are concatenated in stream order. Returns (data, blocks_recovered,
+    candidates_seen). Requires the native core.
+    """
+    if not native.HAVE_NATIVE:
+        raise RuntimeError("recovery requires the native extension")
+    stream = bytes(stream)
+    headers, _ = native.scan_blocks(stream)
+    level = 9  # be liberal: the largest block buffer accepts any level
+    if len(stream) >= 4 and stream[:3] == b"BZh" and ord("1") <= stream[3] <= ord("9"):
+        level = 9  # keep 9 even if the header says less — damage tolerance
+    pieces = []
+    ok = 0
+    for off in headers:
+        try:
+            data, _, _ = native.decode_block_at(stream, off, level, verify_crc)
+        except ValueError:
+            continue
+        pieces.append(data)
+        ok += 1
+    return b"".join(pieces), ok, len(headers)
+
+
 def decompress(stream: bytes, verify_crc: bool = True) -> bytes:
     stream = bytes(stream)
     if native.HAVE_NATIVE:

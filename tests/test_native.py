@@ -142,3 +142,24 @@ def test_trailing_bzh_prefixed_garbage(rng):
         native.decode_stream(bytes(bad))
     with pytest.raises(ValueError):
         np_dec(bytes(bad))
+
+
+def test_recover_damaged_stream(rng):
+    from bz2tpu.runtime.decompressor import recover
+
+    # 4-block stream at level 1; corrupt the SECOND block's data.
+    data = make_corpus(rng, "text", 350_000)
+    comp = bytearray(stdlib_bz2.compress(data, 1))
+    headers, _ = native.scan_blocks(bytes(comp))
+    assert len(headers) >= 3
+    hurt = (headers[1] // 8) + 40  # well inside block 2
+    comp[hurt] ^= 0xFF
+    out, ok, total = recover(bytes(comp))
+    assert ok == total - 1
+    # Recovered bytes = original minus the damaged block's contribution:
+    # the surviving prefix must match and the tail must be a suffix.
+    assert data.startswith(out[: 50_000])
+    assert data.endswith(out[-50_000:])
+    # Fully intact stream recovers everything.
+    full, ok2, total2 = recover(stdlib_bz2.compress(data, 1))
+    assert full == data and ok2 == total2
