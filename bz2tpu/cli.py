@@ -93,27 +93,35 @@ def main(argv: list[str] | None = None) -> int:
                 return 1
         elif args.dec or args.check:
             metrics.op = "check" if args.check else "decompress"
-            data = sys.stdin.buffer.read() if use_stdio else open(args.file, "rb").read()
-            if args.backend == "oracle":
-                from bz2tpu.oracle import decompress
-            else:
-                from bz2tpu.runtime.decompressor import decompress
-            result = decompress(data)
-            metrics.input_bytes, metrics.output_bytes = len(data), len(result)
-            if args.check:
-                metrics.seconds = clock.elapsed()
-                if args.metrics:
-                    print(metrics.to_json(), file=sys.stderr)
-                print("Integrity check passed!")
-                return 0
             out_path = args.output or (
                 args.file[:-4] if args.file.endswith(".bz2") else args.file + ".out"
             )
-            if use_stdio:
-                sys.stdout.buffer.write(result)
+            if not use_stdio and not args.check and args.backend != "oracle":
+                # Bounded-memory file-to-file decode (mmap + sliding window).
+                from bz2tpu.runtime.decompressor import decompress_file
+
+                decompress_file(args.file, out_path)
+                metrics.input_bytes = os.path.getsize(args.file)
+                metrics.output_bytes = os.path.getsize(out_path)
             else:
-                with open(out_path, "wb") as f:
-                    f.write(result)
+                data = sys.stdin.buffer.read() if use_stdio else open(args.file, "rb").read()
+                if args.backend == "oracle":
+                    from bz2tpu.oracle import decompress
+                else:
+                    from bz2tpu.runtime.decompressor import decompress
+                result = decompress(data)
+                metrics.input_bytes, metrics.output_bytes = len(data), len(result)
+                if args.check:
+                    metrics.seconds = clock.elapsed()
+                    if args.metrics:
+                        print(metrics.to_json(), file=sys.stderr)
+                    print("Integrity check passed!")
+                    return 0
+                if use_stdio:
+                    sys.stdout.buffer.write(result)
+                else:
+                    with open(out_path, "wb") as f:
+                        f.write(result)
         else:
             metrics.op = "compress"
             out_path = args.output or (args.file + ".bz2")

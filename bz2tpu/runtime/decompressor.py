@@ -106,6 +106,108 @@ def recover(stream: bytes, verify_crc: bool = True) -> tuple[bytes, int, int]:
     return b"".join(pieces), ok, len(headers)
 
 
+def decompress_file(
+    in_path: str,
+    out_path: str,
+    verify_crc: bool = True,
+    window: int = 16,
+) -> None:
+    """Decode a .bz2 file to disk with bounded memory.
+
+    The input is mmapped (never copied through the slow host heap); blocks
+    decode in a thread pool through the GIL-releasing native core with at
+    most `window` decoded blocks in flight, and bytes stream to the output
+    as each block completes in order. Falls back to whole-buffer decode
+    for streams the optimistic block scan cannot chain (multi-member,
+    marker false positives). Output appears atomically (temp + rename).
+    """
+    import mmap
+    import os
+    import tempfile
+
+    out_dir = os.path.dirname(os.path.abspath(out_path)) or "."
+    fd, tmp_path = tempfile.mkstemp(
+        prefix=os.path.basename(out_path) + ".", suffix=".bz2tpu-tmp", dir=out_dir
+    )
+    try:
+        with open(in_path, "rb") as fin, os.fdopen(fd, "wb") as fout:
+            size = os.fstat(fin.fileno()).st_size
+            if size == 0:
+                raise Bz2FormatError("empty input")
+            mm = mmap.mmap(fin.fileno(), 0, access=mmap.ACCESS_READ)
+            try:
+                ok = native.HAVE_NATIVE and _stream_file_parallel(mm, fout, verify_crc, window)
+                if not ok:
+                    # Discard any partial optimistic output, decode whole.
+                    fout.seek(0)
+                    fout.truncate()
+                    fout.write(decompress(mm[:], verify_crc=verify_crc))
+            finally:
+                mm.close()
+        os.replace(tmp_path, out_path)
+    finally:
+        if os.path.exists(tmp_path):
+            os.unlink(tmp_path)
+
+
+def _read_bits_at(buf, pos: int, nbits: int) -> int:
+    v = 0
+    for b in range(nbits):
+        v = (v << 1) | ((buf[(pos + b) >> 3] >> (7 - ((pos + b) & 7))) & 1)
+    return v
+
+
+def _stream_file_parallel(mm, fout, verify_crc: bool, window: int) -> bool:
+    """Ordered sliding-window block decode to a file; False = use fallback.
+
+    NOTE: the truncated output left behind on False is discarded by the
+    caller's temp-file handling (decode restarts via the fallback path)."""
+    if len(mm) < 4 or mm[:3] != b"BZh" or not (ord("1") <= mm[3] <= ord("9")):
+        return False
+    headers, ends = native.scan_blocks(mm)
+    if not headers or not ends or headers[0] != 32:
+        return False
+    level = mm[3] - ord("0")
+    ends_set = set(ends)
+    n = len(headers)
+
+    def decode_one(off):
+        try:
+            return native.decode_block_at(mm, off, level, verify_crc)
+        except ValueError:
+            return None
+
+    s_crc = 0
+    last_end = None
+    with ThreadPoolExecutor(max_workers=min(window, os.cpu_count() or 1)) as pool:
+        futures = []
+        next_submit = 0
+        for done in range(n):
+            while next_submit < n and len(futures) < window:
+                futures.append(pool.submit(decode_one, headers[next_submit]))
+                next_submit += 1
+            res = futures.pop(0).result()
+            if res is None:
+                return False
+            data, crc, end_bit = res
+            if done + 1 < n:
+                if end_bit != headers[done + 1]:
+                    return False
+            else:
+                if end_bit not in ends_set:
+                    return False
+                last_end = end_bit
+            fout.write(data)
+            s_crc = stream_crc_fold(s_crc, crc)
+    if verify_crc:
+        if last_end is None or last_end + 48 + 32 > len(mm) * 8:
+            raise Bz2FormatError("truncated stream CRC")
+        stored = _read_bits_at(mm, last_end + 48, 32)
+        if stored != s_crc:
+            raise Bz2CrcError(f"stream CRC mismatch: {stored:#x} != {s_crc:#x}")
+    return True
+
+
 def decompress(stream: bytes, verify_crc: bool = True) -> bytes:
     stream = bytes(stream)
     if native.HAVE_NATIVE:

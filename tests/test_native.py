@@ -163,3 +163,30 @@ def test_recover_damaged_stream(rng):
     # Fully intact stream recovers everything.
     full, ok2, total2 = recover(stdlib_bz2.compress(data, 1))
     assert full == data and ok2 == total2
+
+
+def test_decompress_file(tmp_path, rng):
+    from bz2tpu.runtime.decompressor import decompress_file
+
+    # Multi-block parallel-chained file.
+    data = make_corpus(rng, "text", 400_000)
+    src = tmp_path / "a.bz2"
+    src.write_bytes(stdlib_bz2.compress(data, 1))
+    decompress_file(str(src), str(tmp_path / "a.out"))
+    assert (tmp_path / "a.out").read_bytes() == data
+
+    # Multi-member file: chain breaks -> whole-buffer fallback.
+    b = make_corpus(rng, "runs", 120_000)
+    src2 = tmp_path / "b.bz2"
+    src2.write_bytes(stdlib_bz2.compress(data, 1) + stdlib_bz2.compress(b, 9))
+    decompress_file(str(src2), str(tmp_path / "b.out"))
+    assert (tmp_path / "b.out").read_bytes() == data + b
+
+    # Corrupt file: raises, no output left behind.
+    bad = bytearray(stdlib_bz2.compress(data, 1))
+    bad[50] ^= 0xFF
+    src3 = tmp_path / "c.bz2"
+    src3.write_bytes(bytes(bad))
+    with pytest.raises(ValueError):
+        decompress_file(str(src3), str(tmp_path / "c.out"))
+    assert not (tmp_path / "c.out").exists()
