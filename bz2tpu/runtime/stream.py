@@ -105,6 +105,10 @@ def compress_stream(
     # blocks per round while bounding memory.
     read_size = capacity * chunk_blocks
 
+    from contextlib import nullcontext
+
+    stage = metrics.stage if metrics is not None else (lambda name: nullcontext())
+
     stitcher = BitStitcher(sink)
     head = BitWriter()
     head.write_bits(24, int.from_bytes(C.STREAM_MAGIC, "big"))
@@ -131,7 +135,8 @@ def compress_stream(
         chunk = b"".join(pieces)
         data = np.frombuffer(leftover + chunk, dtype=np.uint8)
         del chunk
-        blocks = split_blocks(data, level)
+        with stage("rle1_split"):
+            blocks = split_blocks(data, level)
         if not eof and blocks:
             # Hold back the trailing (possibly partial) block's raw bytes.
             raw_consumed = sum(b.raw_length for b in blocks[:-1])
@@ -139,21 +144,25 @@ def compress_stream(
             blocks = blocks[:-1]
         else:
             leftover = b""
-        for blk, out in zip(blocks, _encode_batches(blocks, capacity, batch)):
-            hdr_bytes, hdr_bits = _block_header_bits(
-                blk.crc,
-                int(out["orig_ptr"]),
-                out["used"],
-                int(out["n_groups"]),
-                int(out["n_selectors"]),
-                out["selector_mtf"],
-                out["lengths"],
-                int(out["n_in_use"]),
-            )
-            stitcher.append(hdr_bytes, hdr_bits)
-            stitcher.append(
-                out["words"].astype(">u4").view(np.uint8), int(out["total_bits"])
-            )
+        batches = _encode_batches(blocks, capacity, batch)
+        for blk in blocks:
+            with stage("device_encode"):
+                out = next(batches)
+            with stage("stitch"):
+                hdr_bytes, hdr_bits = _block_header_bits(
+                    blk.crc,
+                    int(out["orig_ptr"]),
+                    out["used"],
+                    int(out["n_groups"]),
+                    int(out["n_selectors"]),
+                    out["selector_mtf"],
+                    out["lengths"],
+                    int(out["n_in_use"]),
+                )
+                stitcher.append(hdr_bytes, hdr_bits)
+                stitcher.append(
+                    out["words"].astype(">u4").view(np.uint8), int(out["total_bits"])
+                )
             s_crc = stream_crc_fold(s_crc, blk.crc)
             n_blocks += 1
         n_batches += (len(blocks) + batch - 1) // batch
