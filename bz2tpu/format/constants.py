@@ -55,19 +55,12 @@ RLE1_MIN_RUN = 4  # runs of 4..255 become 4 literals + count byte
 RLE1_MAX_RUN = 255 + RLE1_MIN_RUN  # a single count byte covers up to 255 extra
 
 
-def table_count_for_symbols(n_symbols: int) -> int:
-    """Number of Huffman tables for a block with n_symbols MTF/RLE2 symbols.
+# Symbol-count thresholds for 3, 4, 5, 6 Huffman tables (below the first:
+# 2 tables). Stock bzip2 / reference selectTableCount, kernel.cpp:2808-2818.
+# The JAX form (bz2tpu.ops.huffman.table_count) derives from this tuple too.
+TABLE_COUNT_THRESHOLDS = (200, 600, 1200, 2400)
 
-    Thresholds follow stock bzip2 (and the reference's selectTableCount,
-    kernel.cpp:2808-2818): <200 -> 2, <600 -> 3, <1200 -> 4, <2400 -> 5,
-    else 6.
-    """
-    if n_symbols < 200:
-        return 2
-    if n_symbols < 600:
-        return 3
-    if n_symbols < 1200:
-        return 4
-    if n_symbols < 2400:
-        return 5
-    return 6
+
+def table_count_for_symbols(n_symbols: int) -> int:
+    """Number of Huffman tables for a block with n_symbols MTF/RLE2 symbols."""
+    return HUFFMAN_MIN_TABLES + sum(n_symbols >= t for t in TABLE_COUNT_THRESHOLDS)

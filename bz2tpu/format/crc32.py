@@ -112,6 +112,10 @@ def crc32(data: bytes | np.ndarray, lanes: int = 256) -> int:
             return int(native.crc32(arr.tobytes()))
     except ImportError:
         pass
+    # The pairwise logarithmic fold below assumes every round merges lanes
+    # of EQUAL length; a non-power-of-two lane count would mix lengths mid
+    # round and fold with the wrong shift operator — round up.
+    lanes = 1 << max(lanes - 1, 1).bit_length()
     n = arr.size
     if n == 0:
         return int(_MASK ^ _MASK)  # CRC of empty input: ~init = 0
@@ -130,11 +134,7 @@ def crc32(data: bytes | np.ndarray, lanes: int = 256) -> int:
     # Pairwise logarithmic fold: all chunks have identical length k, so one
     # shift operator per round, squared between rounds.
     op = shift_operator(k)
-    while states.size > 1:
-        if states.size % 2 == 1:
-            # Fold the last odd lane into its predecessor first.
-            states[-2] = _op_apply(op, states[-2:-1])[0] ^ states[-1]
-            states = states[:-1]
+    while states.size > 1:  # lane count is a power of two: clean pairing
         a = states[0::2]
         b = states[1::2]
         states = _op_apply(op, a) ^ b

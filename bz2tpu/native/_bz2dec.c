@@ -260,6 +260,9 @@ static int decode_one_block(
         }
         int sym = tb->perm[perm_idx];
         if (sym <= 1) { /* RUNA=0 / RUNB=1 */
+            /* 2^25 > any legal block; larger run_bit would overflow the
+               shift (C UB at >= 63) and could wrap past the bound check */
+            if (run_bit >= 25) { free(selectors); e->err = "block exceeds declared block size"; return -1; }
             run += (int64_t)(sym + 1) << run_bit;
             run_bit++;
             continue;

@@ -46,13 +46,10 @@ def max_selectors(capacity: int) -> int:
 
 def table_count(n_sym: jnp.ndarray) -> jnp.ndarray:
     """Dynamic form of constants.table_count_for_symbols (2..6 tables)."""
-    return (
-        2
-        + (n_sym >= 200).astype(jnp.int32)
-        + (n_sym >= 600).astype(jnp.int32)
-        + (n_sym >= 1200).astype(jnp.int32)
-        + (n_sym >= 2400).astype(jnp.int32)
-    )
+    count = jnp.int32(C.HUFFMAN_MIN_TABLES)
+    for t in C.TABLE_COUNT_THRESHOLDS:
+        count = count + (n_sym >= t).astype(jnp.int32)
+    return count
 
 
 # --------------------------------------------------------------------------

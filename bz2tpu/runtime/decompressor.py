@@ -29,6 +29,8 @@ _PARALLEL_THRESHOLD = 1 << 20  # compressed bytes
 
 def _decompress_parallel(stream: bytes, verify_crc: bool) -> bytes | None:
     """Block-parallel decode; None means 'use the sequential path'."""
+    if len(stream) < 4 or stream[:3] != b"BZh":
+        return None  # sequential path raises the proper format error
     headers, ends = native.scan_blocks(stream)
     if len(headers) < 2 or not ends:
         return None
@@ -69,10 +71,7 @@ def _decompress_parallel(stream: bytes, verify_crc: bool) -> bytes | None:
         pos = last_end + 48
         if pos + 32 > len(stream) * 8:
             raise Bz2FormatError("truncated stream CRC")
-        stored = 0
-        for b in range(32):
-            bit = (stream[(pos + b) >> 3] >> (7 - ((pos + b) & 7))) & 1
-            stored = (stored << 1) | bit
+        stored = _read_bits_at(stream, pos, 32)
         if stored != s_crc:
             raise Bz2CrcError(f"stream CRC mismatch: {stored:#x} != {s_crc:#x}")
     return b"".join(r[0] for r in results)
@@ -91,9 +90,9 @@ def recover(stream: bytes, verify_crc: bool = True) -> tuple[bytes, int, int]:
         raise RuntimeError("recovery requires the native extension")
     stream = bytes(stream)
     headers, _ = native.scan_blocks(stream)
-    level = 9  # be liberal: the largest block buffer accepts any level
-    if len(stream) >= 4 and stream[:3] == b"BZh" and ord("1") <= stream[3] <= ord("9"):
-        level = 9  # keep 9 even if the header says less — damage tolerance
+    # Be liberal: decode with the largest block buffer regardless of what a
+    # (possibly damaged) header claims — level only bounds the buffer.
+    level = 9
     pieces = []
     ok = 0
     for off in headers:
@@ -122,32 +121,22 @@ def decompress_file(
     marker false positives). Output appears atomically (temp + rename).
     """
     import mmap
-    import os
-    import tempfile
 
-    out_dir = os.path.dirname(os.path.abspath(out_path)) or "."
-    fd, tmp_path = tempfile.mkstemp(
-        prefix=os.path.basename(out_path) + ".", suffix=".bz2tpu-tmp", dir=out_dir
-    )
-    try:
-        with open(in_path, "rb") as fin, os.fdopen(fd, "wb") as fout:
-            size = os.fstat(fin.fileno()).st_size
-            if size == 0:
-                raise Bz2FormatError("empty input")
-            mm = mmap.mmap(fin.fileno(), 0, access=mmap.ACCESS_READ)
-            try:
-                ok = native.HAVE_NATIVE and _stream_file_parallel(mm, fout, verify_crc, window)
-                if not ok:
-                    # Discard any partial optimistic output, decode whole.
-                    fout.seek(0)
-                    fout.truncate()
-                    fout.write(decompress(mm[:], verify_crc=verify_crc))
-            finally:
-                mm.close()
-        os.replace(tmp_path, out_path)
-    finally:
-        if os.path.exists(tmp_path):
-            os.unlink(tmp_path)
+    from bz2tpu.utils.atomic import atomic_output
+
+    with open(in_path, "rb") as fin, atomic_output(out_path) as fout:
+        if os.fstat(fin.fileno()).st_size == 0:
+            raise Bz2FormatError("empty input")
+        mm = mmap.mmap(fin.fileno(), 0, access=mmap.ACCESS_READ)
+        try:
+            ok = native.HAVE_NATIVE and _stream_file_parallel(mm, fout, verify_crc, window)
+            if not ok:
+                # Discard any partial optimistic output, decode whole.
+                fout.seek(0)
+                fout.truncate()
+                fout.write(decompress(mm[:], verify_crc=verify_crc))
+        finally:
+            mm.close()
 
 
 def _read_bits_at(buf, pos: int, nbits: int) -> int:

@@ -188,17 +188,7 @@ def compress_file(
     """Stream-compress a file; the output appears atomically (unique temp +
     rename), so a failure mid-run never leaves a truncated .bz2 behind and
     concurrent compressions to the same path cannot clobber each other."""
-    import os
-    import tempfile
+    from bz2tpu.utils.atomic import atomic_output
 
-    out_dir = os.path.dirname(os.path.abspath(out_path)) or "."
-    fd, tmp_path = tempfile.mkstemp(
-        prefix=os.path.basename(out_path) + ".", suffix=".bz2tpu-tmp", dir=out_dir
-    )
-    try:
-        with open(in_path, "rb") as fin, os.fdopen(fd, "wb") as fout:
-            compress_stream(fin, fout, level=level, parallel=parallel, metrics=metrics)
-        os.replace(tmp_path, out_path)
-    finally:
-        if os.path.exists(tmp_path):
-            os.unlink(tmp_path)
+    with open(in_path, "rb") as fin, atomic_output(out_path) as fout:
+        compress_stream(fin, fout, level=level, parallel=parallel, metrics=metrics)

@@ -98,3 +98,74 @@ def test_stream_short_reads(rng):
     sink = io.BytesIO()
     compress_stream(Dribble(data), sink, level=1, parallel=2, chunk_blocks=2)
     assert stdlib.decompress(sink.getvalue()) == data
+
+
+def test_native_run_accumulator_bound():
+    # Crafted stream with enough consecutive RUNA/RUNB symbols to overflow
+    # a shifted 64-bit accumulator must be rejected, not silently decoded.
+    from bz2tpu.format.bitio import BitWriter
+    from bz2tpu.oracle.encoder import assign_canonical_codes, make_code_lengths
+
+    if not native.HAVE_NATIVE:
+        pytest.skip("native only")
+    import numpy as np
+
+    # Build a minimal hand-crafted block: 3-symbol alphabet {RUNA, RUNB, EOB}.
+    freqs = np.array([100, 100, 1])
+    lens = make_code_lengths(freqs)
+    codes = assign_canonical_codes(lens)
+    w = BitWriter()
+    w.write_bits(24, int.from_bytes(b"BZh", "big"))
+    w.write_bits(8, ord("1"))
+    w.write_bits(48, 0x314159265359)
+    w.write_bits(32, 0)  # crc (unchecked: verify=False below)
+    w.write_bit(0)
+    w.write_bits(24, 0)
+    w.write_bits(16, 0x8000)  # range 0 used
+    w.write_bits(16, 0x8000)  # byte 0 used -> n_in_use=1, alpha=3
+    w.write_bits(3, 2)  # 2 tables
+    w.write_bits(15, 2)  # 2 selectors
+    w.write_unary(0)
+    w.write_unary(0)
+    for _ in range(2):  # both tables identical
+        w.write_bits(5, int(lens[0]))
+        cur = int(lens[0])
+        for v in lens.tolist():
+            while cur < v:
+                w.write_bits(2, 2)
+                cur += 1
+            while cur > v:
+                w.write_bits(2, 3)
+                cur -= 1
+            w.write_bit(0)
+    for _ in range(70):  # 70 RUNA symbols: run ~ 2^70
+        w.write_bits(int(lens[0]), int(codes[0]))
+    w.write_bits(int(lens[2]), int(codes[2]))  # EOB
+    w.write_bits(48, 0x177245385090)
+    w.write_bits(32, 0)
+    w.pad_to_byte()
+    stream = w.getvalue()
+    with pytest.raises(ValueError):
+        native.decode_stream(stream, False)
+    with pytest.raises(ValueError):
+        np_decompress(stream, verify_crc=False)
+
+
+def test_parallel_rejects_bad_magic(rng):
+    from bz2tpu.runtime.decompressor import _decompress_parallel, decompress
+
+    data = make_corpus(rng, "text", 2_000_000)
+    comp = bytearray(stdlib_bz2.compress(data, 1))
+    comp[0:3] = b"XXX"
+    assert _decompress_parallel(bytes(comp), True) is None
+    with pytest.raises(ValueError):
+        decompress(bytes(comp))
+
+
+def test_crc32_any_lane_count(rng):
+    from bz2tpu.format.crc32 import crc32, crc32_serial
+
+    data = make_corpus(rng, "random", 1000)
+    want = crc32_serial(data)
+    for lanes in (3, 5, 6, 7, 9, 12, 13, 64, 100, 256):
+        assert crc32(data, lanes=lanes) == want, lanes
