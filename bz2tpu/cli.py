@@ -25,7 +25,15 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="bz2tpu",
         description="TPU-native bzip2 codec (JAX/XLA/Pallas)",
+        epilog=(
+            "examples: bz2tpu FILE | bz2tpu FILE.bz2 --dec | "
+            "bz2tpu FILE.bz2 --check | bz2tpu damaged.bz2 --recover | "
+            "cat f | bz2tpu - > f.bz2"
+        ),
     )
+    from bz2tpu import __version__
+
+    p.add_argument("--version", action="version", version=f"bz2tpu {__version__}")
     p.add_argument("file", help="input file ('-' for stdin->stdout)")
     p.add_argument("--dec", action="store_true", help="decompress")
     p.add_argument("--check", action="store_true", help="integrity check only (decode + CRC verify)")
