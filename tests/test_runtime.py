@@ -65,3 +65,36 @@ def test_top_level_api(rng):
     out = bz2tpu.compress(data, level=1)
     assert bz2tpu.decompress(out) == data
     assert stdlib_bz2.decompress(out) == data
+
+
+@pytest.mark.parametrize(
+    "size_delta", [-2, -1, 0, 1, 2, 17]
+)
+def test_block_capacity_boundaries(rng, size_delta):
+    # Inputs straddling exactly one block's capacity at level 1.
+    from bz2tpu.format.constants import block_capacity
+
+    cap = block_capacity(1)
+    data = make_corpus(rng, "random", cap + size_delta)  # random: no RLE1 shrink
+    out = tpu_compress(data, level=1)
+    assert stdlib_bz2.decompress(out) == data
+
+
+def test_run_crossing_block_boundary(rng):
+    # A >255 run positioned to straddle the first block's capacity.
+    from bz2tpu.format.constants import block_capacity
+
+    cap = block_capacity(1)
+    head = make_corpus(rng, "random", cap - 100)
+    data = head + b"\x42" * 1000 + make_corpus(rng, "text", 5000)
+    out = tpu_compress(data, level=1)
+    assert stdlib_bz2.decompress(out) == data
+
+
+def test_rle1_255_boundary_patterns(rng):
+    # Runs of exactly 4, 255, 259, 510 at a block edge region.
+    data = b"".join(
+        bytes([i % 251]) * n for i, n in enumerate([4, 255, 259, 510, 3, 1000])
+    ) * 50
+    out = tpu_compress(data, level=1)
+    assert stdlib_bz2.decompress(out) == data
