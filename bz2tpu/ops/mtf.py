@@ -22,7 +22,9 @@ RLE2 (zero-run RUNA/RUNB coding, reference kernel.cpp:2612-2640) is closed
 form in the collapsed domain: the zero run preceding collapsed position k
 has length gap_k = i_k - i_{k-1} - 1, a run of length z emits
 m = floor(log2(z+1)) digits, and digit t is bit t of (z+1) (bijective
-base 2). All digits scatter in parallel; no sequential state remains.
+base 2). Emission is scatter-free: each output position maps back to its
+collapsed span, so digits and symbols are gathers. No sequential state
+remains anywhere in the stage.
 """
 
 from __future__ import annotations
