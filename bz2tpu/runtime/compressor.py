@@ -123,6 +123,9 @@ def _encode_batches(blocks: list[Rle1Block], capacity: int, batch: int):
     import jax.numpy as jnp
 
     from bz2tpu.ops.pipeline import encode_blocks_staged
+    from bz2tpu.utils.jaxenv import setup_compilation_cache
+
+    setup_compilation_cache()  # first compiles are minutes on the terminal
 
     n_blocks = len(blocks)
     bases = list(range(0, n_blocks, batch))
