@@ -1,6 +1,7 @@
 """utils: metrics, device info, profiling, distributed no-op."""
 
 import json
+import pytest
 import time
 
 import jax
@@ -54,3 +55,28 @@ def test_distributed_single_process_noop():
 
     initialize()  # no coordinator -> no-op
     assert is_primary()
+
+
+def test_atomic_output(tmp_path):
+    from bz2tpu.utils.atomic import atomic_output
+
+    target = tmp_path / "out.bin"
+    with atomic_output(str(target)) as f:
+        f.write(b"hello")
+        assert not target.exists()  # nothing visible until clean exit
+    assert target.read_bytes() == b"hello"
+    assert list(tmp_path.iterdir()) == [target]  # temp cleaned up
+
+    with pytest.raises(RuntimeError):
+        with atomic_output(str(target)) as f:
+            f.write(b"partial")
+            raise RuntimeError("boom")
+    assert target.read_bytes() == b"hello"  # untouched on failure
+    assert list(tmp_path.iterdir()) == [target]
+
+
+def test_bench_corpus_deterministic():
+    import bench
+
+    assert bench.make_text(10_000, 42) == bench.make_text(10_000, 42)
+    assert bench.make_text(10_000, 42) != bench.make_text(10_000, 43)
