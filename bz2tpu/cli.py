@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _read_input(args, use_stdio: bool) -> bytes:
+    if use_stdio:
+        return sys.stdin.buffer.read()
+    with open(args.file, "rb") as f:
+        return f.read()
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if not 1 <= args.size <= 9:
@@ -85,7 +92,7 @@ def main(argv: list[str] | None = None) -> int:
             from bz2tpu.runtime.decompressor import recover
 
             metrics.op = "recover"
-            data = sys.stdin.buffer.read() if use_stdio else open(args.file, "rb").read()
+            data = _read_input(args, use_stdio)
             result, ok, total = recover(data)
             print(f"recovered {ok}/{total} blocks", file=sys.stderr)
             metrics.input_bytes, metrics.output_bytes = len(data), len(result)
@@ -112,7 +119,7 @@ def main(argv: list[str] | None = None) -> int:
                 metrics.input_bytes = os.path.getsize(args.file)
                 metrics.output_bytes = os.path.getsize(out_path)
             else:
-                data = sys.stdin.buffer.read() if use_stdio else open(args.file, "rb").read()
+                data = _read_input(args, use_stdio)
                 if args.backend == "oracle":
                     from bz2tpu.oracle import decompress
                 else:
@@ -136,7 +143,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.backend == "oracle":
                 from bz2tpu.oracle import compress
 
-                data = sys.stdin.buffer.read() if use_stdio else open(args.file, "rb").read()
+                data = _read_input(args, use_stdio)
                 result = compress(data, level=args.size)
                 metrics.input_bytes, metrics.output_bytes = len(data), len(result)
                 if use_stdio:

@@ -104,6 +104,7 @@ static int vec_reserve(Vec *v, size_t extra) {
 #define MAX_ACCEPT_LEN 20
 #define BLOCK_HEADER 0x314159265359ULL
 #define STREAM_END 0x177245385090ULL
+#define MAX_SELECTORS (2 + (900000 / GROUP_SIZE))
 
 typedef struct {
     int32_t limit[MAX_CODE_LEN + 2];
@@ -181,7 +182,9 @@ static int decode_one_block(
         e->err = "truncated table header"; return -1;
     }
     if (n_groups < 2 || n_groups > MAX_GROUPS) { e->err = "bad table count"; return -1; }
-    if (n_selectors < 1) { e->err = "no selectors"; return -1; }
+    /* 18002 = 2 + 900000/50, the standard-scale cap (the reference enforces
+       its downscaled analog, include/BlockDecompressor.hpp:158-161) */
+    if (n_selectors < 1 || n_selectors > MAX_SELECTORS) { e->err = "bad selector count"; return -1; }
 
     /* selectors: unary MTF over table list */
     uint8_t *selectors = (uint8_t *)malloc(n_selectors);
@@ -338,6 +341,10 @@ static PyObject *py_decode_stream(PyObject *self, PyObject *args, PyObject *kwar
     int verify_crc = 1;
     if (!PyArg_ParseTupleAndKeywords(args, kwargs, "y*|p", kwlist, &view, &verify_crc))
         return NULL;
+    if (view.len == 0) { /* stdlib parity: bz2.decompress(b"") == b"" */
+        PyBuffer_Release(&view);
+        return PyBytes_FromStringAndSize(NULL, 0);
+    }
 
     BitReader br = {(const uint8_t *)view.buf, (size_t)view.len, 0};
     Vec out = {NULL, 0, 0};
@@ -350,16 +357,27 @@ static PyObject *py_decode_stream(PyObject *self, PyObject *args, PyObject *kwar
     size_t member_start_len = 0;
 
     /* Multi-member streams: like stock bzip2 / stdlib bz2, keep decoding
-       while the (byte-aligned) remainder begins a valid stream header; any
-       undecodable trailing data after >= 1 complete member is ignored
-       (stdlib parity — including junk that merely starts with "BZh<d>"). */
+       while the (byte-aligned) remainder begins a valid stream header.
+       stdlib parity (measured against CPython bz2.decompress):
+       - trailing data that ERRORS during decode (bad magic byte, junk
+         after a valid "BZh<d>") is ignored — return the decoded members;
+       - trailing data that is merely TRUNCATED (a proper prefix of the
+         magic, or a valid-magic member cut short) raises, like stdlib's
+         "Compressed data ended before the end-of-stream marker". */
     for (;;) {
         if (!first_member) {
             br.pos = (br.pos + 7) & ~(size_t)7;
-            if (br.pos + 32 > br.nbytes * 8) break;
+            size_t rem = br.nbytes - (br.pos >> 3);
+            if (rem == 0) break;
             const uint8_t *p = br.data + (br.pos >> 3);
-            if (!(p[0] == 'B' && p[1] == 'Z' && p[2] == 'h' && p[3] >= '1' && p[3] <= '9'))
-                break;
+            static const uint8_t magic3[3] = {'B', 'Z', 'h'};
+            size_t k = 0;
+            int mismatch = 0;
+            for (; k < rem && k < 3; k++)
+                if (p[k] != magic3[k]) { mismatch = 1; break; }
+            if (!mismatch && rem >= 4 && !(p[3] >= '1' && p[3] <= '9')) mismatch = 1;
+            if (mismatch) break;                 /* junk tail: ignore */
+            if (rem < 4) { e.err = "truncated stream"; goto fail; } /* magic prefix cut short */
         }
         member_start_len = out.len; /* rollback point for trailing junk */
         uint32_t magic, level_ch;
@@ -406,9 +424,12 @@ success:
     return res;
 
 fail:
-    if (members_done > 0 && e.err && strcmp(e.err, "out of memory") != 0) {
-        /* Undecodable data after >= 1 complete member: discard the partial
-           member and return what decoded (stdlib bz2 parity). */
+    if (members_done > 0 && e.err && strcmp(e.err, "out of memory") != 0 &&
+        strncmp(e.err, "truncated", 9) != 0) {
+        /* Undecodable (non-truncated) data after >= 1 complete member:
+           discard the partial member and return what decoded (stdlib bz2
+           parity). Truncation of a member whose header validated re-raises,
+           matching stdlib's eof check. */
         out.len = member_start_len;
         goto success;
     }

@@ -266,26 +266,33 @@ def decompress(stream: bytes | np.ndarray, verify_crc: bool = True) -> bytes:
 
 
 def _decompress_inner(stream: bytes | np.ndarray, verify_crc: bool) -> bytes:
+    if len(stream) == 0:
+        return b""  # stdlib parity: bz2.decompress(b"") == b""
     r = BitReader(stream)
     out_parts: list[np.ndarray] = []
     first_member = True
     # Multi-member streams: like stock bzip2 / stdlib bz2, keep decoding
-    # while the byte-aligned remainder begins a valid stream header; any
-    # undecodable trailing data after >= 1 complete member is ignored
-    # (stdlib parity — including junk that merely starts with "BZh<d>").
+    # while the byte-aligned remainder begins a valid stream header.
+    # stdlib parity (measured against CPython bz2.decompress): trailing
+    # data that ERRORS during decode is ignored, but trailing data that is
+    # merely TRUNCATED — a proper prefix of "BZh<digit>", or a valid-magic
+    # member cut short — raises, matching stdlib's eof check.
     while True:
         if not first_member:
             r.align_to_byte()
-            if r.bits_remaining < 32:
+            rem = r.bits_remaining // 8
+            if rem == 0:
                 break
             mark = r.bit_position
-            magic = r.read_bits(24)
-            lvl_ch = r.read_bits(8)
+            head = bytes(r.read_bits(8) for _ in range(min(rem, 4)))
             r._pos = mark
-            if magic != int.from_bytes(C.STREAM_MAGIC, "big") or not (
-                ord("1") <= lvl_ch <= ord("9")
+            want = C.STREAM_MAGIC  # b"BZh"
+            if head[:3] != want[: min(len(head), 3)] or (
+                len(head) >= 4 and not (ord("1") <= head[3] <= ord("9"))
             ):
-                break
+                break  # junk tail: ignore
+            if rem < 4:
+                raise EOFError("trailing stream-magic prefix cut short")
         checkpoint = len(out_parts)
         try:
             if r.read_bits(24) != int.from_bytes(C.STREAM_MAGIC, "big"):
@@ -294,10 +301,14 @@ def _decompress_inner(stream: bytes | np.ndarray, verify_crc: bool) -> bytes:
             if not C.MIN_LEVEL <= level <= C.MAX_LEVEL:
                 raise Bz2FormatError(f"bad block-size level {level}")
             _decode_member(r, level, verify_crc, out_parts)
-        except (Bz2FormatError, Bz2CrcError, EOFError):
+        except EOFError:
+            # Truncation of a member whose header validated: re-raise
+            # (wrapped by decompress() into Bz2FormatError), stdlib parity.
+            raise
+        except (Bz2FormatError, Bz2CrcError):
             if first_member:
                 raise
-            del out_parts[checkpoint:]  # discard the partial trailing member
+            del out_parts[checkpoint:]  # discard the undecodable trailing member
             break
         first_member = False
     return (np.concatenate(out_parts) if out_parts else np.zeros(0, dtype=np.uint8)).tobytes()
@@ -327,8 +338,10 @@ def _decode_member(r: BitReader, level: int, verify_crc: bool, out_parts: list) 
         if not C.HUFFMAN_MIN_TABLES <= n_groups <= C.HUFFMAN_MAX_TABLES:
             raise Bz2FormatError(f"bad table count {n_groups}")
         n_selectors = r.read_bits(15)
-        if n_selectors < 1:
-            raise Bz2FormatError("no selectors")
+        # 18002-cap: standard-scale analog of the reference's check
+        # (include/BlockDecompressor.hpp:158-161).
+        if not 1 <= n_selectors <= C.HUFFMAN_MAX_SELECTORS:
+            raise Bz2FormatError(f"bad selector count {n_selectors}")
         selectors = _decode_selectors(r, n_groups, n_selectors)
         lengths = _read_tables(r, n_groups, alpha_size)
         tables = [build_decode_tables(lengths[t]) for t in range(n_groups)]

@@ -169,3 +169,96 @@ def test_crc32_any_lane_count(rng):
     want = crc32_serial(data)
     for lanes in (3, 5, 6, 7, 9, 12, 13, 64, 100, 256):
         assert crc32(data, lanes=lanes) == want, lanes
+
+
+# ---------------------------------------------------------------------------
+# stdlib-parity: trailing-data and truncation semantics (measured against
+# CPython bz2.decompress; see native/_bz2dec.c stream loop comment).
+# ---------------------------------------------------------------------------
+
+_TAILS = [
+    b"",  # clean stream
+    b"B", b"BZ", b"BZh", b"BZh9",  # truncated magic prefixes -> must raise
+    b"BX", b"BZx", b"BZh0",  # junk tails -> ignored
+    b"hello junk here",  # junk tail -> ignored
+    b"BZh9" + b"\xde\xad\xbe\xef" * 10,  # valid magic + junk -> ignored
+]
+
+
+@pytest.mark.parametrize("tail", _TAILS, ids=[repr(t)[:16] for t in _TAILS])
+@pytest.mark.parametrize("name,dec", _decoders())
+def test_stdlib_tail_parity(name, dec, tail):
+    data = make_corpus(np.random.default_rng(7), "text", 20_000)
+    comp = stdlib_bz2.compress(data, 1)
+    try:
+        want = stdlib_bz2.decompress(comp + tail)
+    except ValueError:
+        want = None
+    if want is None:
+        with pytest.raises(ValueError):
+            dec(comp + tail)
+    else:
+        assert dec(comp + tail) == want
+
+
+@pytest.mark.parametrize("name,dec", _decoders())
+def test_truncated_second_member_raises(name, dec):
+    # ADVICE r1 (medium): a cleanly-truncated trailing member must raise
+    # like stdlib, not silently return only the first member.
+    data = make_corpus(np.random.default_rng(8), "text", 20_000)
+    comp = stdlib_bz2.compress(data, 1)
+    for frac in (0.2, 0.5, 0.95):
+        blob = comp + comp[: int(len(comp) * frac)]
+        with pytest.raises(ValueError):
+            stdlib_bz2.decompress(blob)
+        with pytest.raises(ValueError):
+            dec(blob)
+
+
+def test_empty_input_stdlib_parity():
+    assert stdlib_bz2.decompress(b"") == b""
+    assert decompress(b"") == b""
+    assert np_decompress(b"") == b""
+    if native.HAVE_NATIVE:
+        assert native.decode_stream(b"") == b""
+
+
+@pytest.mark.parametrize("name,dec", _decoders())
+def test_flipped_crc_detected(name, dec):
+    # Strong CRC oracle: corrupt the stored block CRC (bits 80..112: after
+    # the 4-byte magic + 6-byte block marker). The stream stays structurally
+    # valid, so a decoder that ignored CRCs would "succeed" — verify_crc=True
+    # must raise, verify_crc=False must return the original bytes.
+    data = make_corpus(np.random.default_rng(9), "text", 20_000)
+    comp = bytearray(stdlib_bz2.compress(data, 1))
+    comp[10] ^= 0x40  # inside the stored block CRC field
+    with pytest.raises(ValueError):
+        dec(bytes(comp))
+    if name == "native":
+        assert native.decode_stream(bytes(comp), False) == data
+    else:
+        assert np_decompress(bytes(comp), verify_crc=False) == data
+
+
+@pytest.mark.parametrize("name,dec", _decoders())
+def test_selector_count_cap(name, dec):
+    # Conformance: n_selectors is capped at 18002 (= 2 + 900000/50), the
+    # standard-scale analog of reference include/BlockDecompressor.hpp:158-161.
+    from bz2tpu.format.bitio import BitWriter
+
+    w = BitWriter()
+    w.write_bits(24, int.from_bytes(b"BZh", "big"))
+    w.write_bits(8, ord("9"))
+    w.write_bits(48, 0x314159265359)
+    w.write_bits(32, 0)  # crc
+    w.write_bit(0)
+    w.write_bits(24, 0)
+    w.write_bits(16, 0x8000)
+    w.write_bits(16, 0x8000)
+    w.write_bits(3, 2)  # 2 tables
+    w.write_bits(15, 18003)  # over the cap
+    for _ in range(64):
+        w.write_bits(8, 0)  # would-be selector bits; must not be reached
+    w.pad_to_byte()
+    with pytest.raises(ValueError, match="selector"):
+        dec(w.getvalue())

@@ -84,7 +84,10 @@ def test_parallel_decode_crc_detects_corruption(rng):
 
     data = make_corpus(rng, "text", 2_000_000)
     comp = bytearray(stdlib_bz2.compress(data, 1))
-    comp[100] ^= 0x10  # inside the first block's data
+    # Flip several spread-out bytes so at least one provably corrupts
+    # decoded content (a single flip can land in a dead table entry).
+    for off in range(100, 2000, 250):
+        comp[off] ^= 0x10
     # The optimistic parallel path may either detect the corruption itself
     # or signal fallback (None); the public driver must always raise.
     try:
