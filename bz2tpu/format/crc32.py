@@ -5,8 +5,9 @@ Redesign: CRC over GF(2) is linear, so we compute it *lane-parallel*: the
 input is split into L equal chunks, all L chunk states advance together one
 byte-position per step (vectorized over lanes), and the per-chunk results are
 folded with the "multiply by x^(8*len)" shift operator via logarithmic
-pairwise combines. The same decomposition is what the TPU kernel uses
-(bz2tpu/ops/crc.py); this NumPy version is the oracle and the host fallback.
+pairwise combines. The device op with the same decomposition (plus masked
+range CRCs via invertible shift-operator ladders) is bz2tpu/ops/crc.py;
+this NumPy version is the oracle and the host fallback.
 
 Also provides the bzip2 *stream* CRC fold s -> rotl1(s) ^ blockCRC
 (reference include/OutputStream.hpp:202, include/InputStream.hpp:132) and its
