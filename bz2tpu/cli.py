@@ -48,7 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--parallel", type=int, default=0, metavar="N",
         help="blocks per device batch (0 = auto)",
     )
-    p.add_argument("--backend", choices=["tpu", "oracle"], default="tpu")
+    p.add_argument(
+        "--backend", choices=["tpu", "oracle", "device"], default="tpu",
+        help="tpu: JAX compress + native host decode; oracle: pure NumPy; "
+        "device: TPU decode pipeline (Huffman+MTF+IBWT on device)",
+    )
     p.add_argument("-o", "--output", help="output path (default: input+.bz2 / strip .bz2)")
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--metrics", action="store_true", help="print JSON metrics to stderr")
@@ -111,7 +115,7 @@ def main(argv: list[str] | None = None) -> int:
             out_path = args.output or (
                 args.file[:-4] if args.file.endswith(".bz2") else args.file + ".out"
             )
-            if not use_stdio and not args.check and args.backend != "oracle":
+            if not use_stdio and not args.check and args.backend == "tpu":
                 # Bounded-memory file-to-file decode (mmap + sliding window).
                 from bz2tpu.runtime.decompressor import decompress_file
 
@@ -122,6 +126,10 @@ def main(argv: list[str] | None = None) -> int:
                 data = _read_input(args, use_stdio)
                 if args.backend == "oracle":
                     from bz2tpu.oracle import decompress
+                elif args.backend == "device":
+                    from bz2tpu.runtime.device_decode import (
+                        decompress_device as decompress,
+                    )
                 else:
                     from bz2tpu.runtime.decompressor import decompress
                 result = decompress(data)

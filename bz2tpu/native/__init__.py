@@ -18,6 +18,7 @@ try:  # pragma: no cover - exercised via the public wrappers
     rle1_split = _impl.rle1_split
     scan_blocks = _impl.scan_blocks
     decode_block_at = _impl.decode_block_at
+    inverse_rle1 = _impl.inverse_rle1
     CrcError = _impl.CrcError
 except (ImportError, AttributeError):  # extension not built, or stale build
     # predating newer entry points (AttributeError from _impl.<name>)
@@ -27,4 +28,5 @@ except (ImportError, AttributeError):  # extension not built, or stale build
     rle1_split = None
     scan_blocks = None
     decode_block_at = None
+    inverse_rle1 = None
     CrcError = None

@@ -606,6 +606,53 @@ oom:
     return PyErr_NoMemory();
 }
 
+/* Inverse RLE1 + CRC over an already-BWT-inverted block (the host tail of
+   the DEVICE decode path: Huffman/MTF/IBWT run on the TPU, this single
+   linear pass undoes the RLE1 pre-pass — reference
+   include/BlockDecompressor.hpp:55-90 — and folds the block CRC). */
+static PyObject *py_inverse_rle1(PyObject *self, PyObject *args) {
+    Py_buffer view;
+    if (!PyArg_ParseTuple(args, "y*", &view)) return NULL;
+    const uint8_t *in = (const uint8_t *)view.buf;
+    size_t n = (size_t)view.len;
+    Vec out = {NULL, 0, 0};
+    uint32_t crc = 0xFFFFFFFFu;
+    int oom = 0;
+    Py_BEGIN_ALLOW_THREADS
+    {
+        uint8_t prev = 0;
+        int run_count = 0;
+        if (vec_reserve(&out, n)) oom = 1;
+        for (size_t i = 0; i < n && !oom; i++) {
+            uint8_t c = in[i];
+            if (run_count == 4) {
+                if (c) {
+                    if (vec_reserve(&out, c)) { oom = 1; break; }
+                    memset(out.buf + out.len, prev, c);
+                    out.len += c;
+                    for (int k = 0; k < (int)c; k++)
+                        crc = (crc << 8) ^ crc_table[(crc >> 24) ^ prev];
+                }
+                run_count = 0;
+                continue;
+            }
+            if (c == prev) run_count++;
+            else { run_count = 1; prev = c; }
+            if (vec_reserve(&out, 1)) { oom = 1; break; }
+            out.buf[out.len++] = c;
+            crc = (crc << 8) ^ crc_table[(crc >> 24) ^ c];
+        }
+    }
+    Py_END_ALLOW_THREADS
+    PyBuffer_Release(&view);
+    if (oom) { free(out.buf); return PyErr_NoMemory(); }
+    PyObject *res = Py_BuildValue(
+        "(y#I)", (const char *)out.buf, (Py_ssize_t)out.len,
+        (unsigned int)(crc ^ 0xFFFFFFFFu));
+    free(out.buf);
+    return res;
+}
+
 static PyObject *py_crc32(PyObject *self, PyObject *args) {
     Py_buffer view;
     if (!PyArg_ParseTuple(args, "y*", &view)) return NULL;
@@ -627,6 +674,8 @@ static PyMethodDef methods[] = {
      "Bit-scan for block/end markers: ([header_bit_offsets], [end_bit_offsets])."},
     {"decode_block_at", py_decode_block_at, METH_VARARGS,
      "decode_block_at(data, bit_offset, level, verify) -> (bytes, crc, end_bit)."},
+    {"inverse_rle1", py_inverse_rle1, METH_VARARGS,
+     "inverse_rle1(bwt_walked_bytes) -> (bytes, crc)."},
     {NULL, NULL, 0, NULL},
 };
 
