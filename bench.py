@@ -4,18 +4,30 @@ Prints ONE JSON line:
   {"metric": "compress_throughput", "value": <MB/s>, "unit": "MB/s",
    "vs_baseline": <ours / stock-libbz2-single-core>}
 
-The corpus is deterministic Markov-ish text (the compressible regime both
-the reference thesis and stock bzip2 target). Baseline is stdlib bz2
-(libbz2, one core) at the same level on the same data — the reference's own
-comparison target ("competes with and can surpass the original library",
-thesis p. 33). Output is round-trip-verified through stdlib bz2 before any
-number is reported.
+Corpus (BASELINE.md configs ask for real corpora, not toy text): a
+deterministic Silesia-style MIX built from stable on-image material —
+real English/legal text, real source code, ELF binary, Markov text,
+structured runs, and random bytes — in fixed proportions. Baseline is
+stdlib bz2 (libbz2, one core) at the same level on the same data — the
+reference's own comparison target ("competes with and can surpass the
+original library", thesis p. 33). Output is round-trip-verified through
+stdlib bz2 before any number is reported.
+
+Extra detail emitted:
+  - ratio parity at levels 1 and 9 on a slice (ours vs stock);
+  - a scaling-efficiency table measured on a virtual CPU mesh in a
+    subprocess (1/2/4/8 devices, weak scaling). Virtual devices share one
+    host CPU, so that table validates the sharded path and the metric
+    plumbing; real efficiency needs a real multi-chip slice.
 """
 
 from __future__ import annotations
 
 import bz2 as stdlib_bz2
+import glob
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -38,13 +50,155 @@ def make_text(nbytes: int, seed: int) -> bytes:
     return b"".join(parts)[:nbytes]
 
 
+def _real_text(nbytes: int) -> bytes:
+    """Stable on-image English/legal/source text, no repetition."""
+    pools = []
+    lic = "/THIRD_PARTY_NOTICES/LICENSES.txt"
+    if os.path.exists(lic):
+        with open(lic, "rb") as f:
+            pools.append(f.read())
+    src = []
+    for pat in ("/opt/venv/lib/python3*/site-packages/numpy/**/*.py",
+                "/opt/venv/lib/python3*/site-packages/jax/_src/*.py"):
+        for p in sorted(glob.glob(pat, recursive=True)):
+            try:
+                with open(p, "rb") as f:
+                    src.append(f.read())
+            except OSError:
+                continue
+            if sum(map(len, src)) > nbytes:
+                break
+    pools.append(b"".join(src))
+    blob = b"".join(pools)
+    if len(blob) < nbytes:  # pad with Markov text, never by repetition
+        blob += make_text(nbytes - len(blob), 7)
+    return blob[:nbytes]
+
+
+def _binary(nbytes: int) -> bytes:
+    for p in sorted(glob.glob("/opt/venv/lib/python3*/site-packages/numpy/_core/*.so")):
+        with open(p, "rb") as f:
+            b = f.read()
+        if len(b) >= nbytes:
+            return b[:nbytes]
+    return np.random.default_rng(3).integers(0, 256, nbytes, dtype=np.uint8).tobytes()
+
+
+def _runs(nbytes: int, seed: int) -> bytes:
+    r = np.random.default_rng(seed)
+    vals = r.integers(0, 16, 4096, dtype=np.uint8)
+    lens = r.integers(1, 600, 4096)
+    return np.repeat(vals, lens).tobytes()[:nbytes]
+
+
+def make_mixed_corpus(nbytes: int) -> bytes:
+    """Silesia-style deterministic mix: 40% real text, 15% binary, 20%
+    Markov text, 15% structured runs, 10% random."""
+    spec = [
+        (0.40, lambda n: _real_text(n)),
+        (0.15, lambda n: _binary(n)),
+        (0.20, lambda n: make_text(n, 11)),
+        (0.15, lambda n: _runs(n, 13)),
+        (0.10, lambda n: np.random.default_rng(17).integers(0, 256, n, dtype=np.uint8).tobytes()),
+    ]
+    parts = []
+    for frac, fn in spec:
+        parts.append(fn(int(nbytes * frac)))
+    blob = b"".join(parts)
+    if len(blob) < nbytes:
+        blob += make_text(nbytes - len(blob), 19)
+    return blob[:nbytes]
+
+
+def _scaling_table() -> dict | None:
+    """Weak-scaling efficiency on a virtual CPU mesh (subprocess)."""
+    code = r"""
+import json, os, sys, time
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8").strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) if "__file__" in dir() else ".")
+from bz2tpu.format import constants as C
+from bz2tpu.parallel.mesh import block_mesh, encode_blocks_sharded
+from bz2tpu.oracle.encoder import rle1_split
+
+level = 1
+cap = C.block_capacity(level)
+rng = np.random.default_rng(5)
+rows = {}
+PER_DEV = 1
+for nd in (1, 2, 4, 8):
+    B = nd * PER_DEV
+    raw = rng.integers(97, 123, B * cap, dtype=np.uint8)
+    blocks = rle1_split(raw, level)[:B]
+    batch = np.zeros((B, cap), np.uint8)
+    ns = np.ones(B, np.int32)
+    for i, blk in enumerate(blocks):
+        batch[i, : blk.data.size] = blk.data
+        ns[i] = blk.data.size
+    mesh = block_mesh(nd)
+    out = encode_blocks_sharded(batch, jnp.asarray(ns), mesh=mesh)  # compile
+    np.asarray(jax.device_get(out["total_bits"]))
+    t0 = time.time()
+    out = encode_blocks_sharded(batch, jnp.asarray(ns), mesh=mesh)
+    np.asarray(jax.device_get(out["words"]))
+    dt = time.time() - t0
+    rows[nd] = B * cap / dt / 1e6
+base = rows[1]
+print(json.dumps({
+    "mode": "virtual_cpu_mesh_weak_scaling",
+    "mb_s": {str(k): round(v, 2) for k, v in rows.items()},
+    "efficiency": {str(k): round(v / (k * base), 3) for k, v in rows.items()},
+}))
+"""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], env=env, capture_output=True,
+            timeout=1200, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if r.returncode != 0:
+            return {"error": r.stderr.decode()[-300:]}
+        return json.loads(r.stdout.decode().strip().splitlines()[-1])
+    except Exception as e:  # noqa: BLE001 — bench must still print its line
+        return {"error": str(e)[:300]}
+
+
+def _ratio_sweep(levels=(1, 9)) -> dict:
+    """Ratio parity vs stock on a 2-block slice per level (cached shapes)."""
+    from bz2tpu.format import constants as C
+    from bz2tpu.runtime.compressor import compress
+
+    out = {}
+    for lv in levels:
+        n = 2 * C.BLOCK_SIZE_BASE * lv
+        data = make_mixed_corpus(n)
+        ours = compress(data, level=lv, parallel=2)
+        if stdlib_bz2.decompress(ours) != data:
+            out[str(lv)] = {"error": "round-trip mismatch"}
+            continue
+        stock = stdlib_bz2.compress(data, lv)
+        out[str(lv)] = {
+            "ratio": round(len(ours) / n, 4),
+            "stock_ratio": round(len(stock) / n, 4),
+        }
+    return out
+
+
 def main() -> int:
     from bz2tpu.format import constants as C
     from bz2tpu.runtime.compressor import compress
 
     nbytes = N_BLOCKS * C.BLOCK_SIZE_BASE * LEVEL
-    warm = make_text(nbytes, 42)
-    data = make_text(nbytes, 43)
+    data = make_mixed_corpus(nbytes)
+    warm = make_mixed_corpus(nbytes)[: nbytes // 2] + make_text(nbytes - nbytes // 2, 42)
 
     t0 = time.time()
     compress(warm, level=LEVEL, parallel=BATCH)  # compile + warm caches
@@ -81,6 +235,7 @@ def main() -> int:
         "vs_baseline": round(ours / stock_mbps, 3),
         "detail": {
             "level": LEVEL,
+            "corpus": "mixed (40% real text, 15% ELF, 20% markov, 15% runs, 10% random)",
             "input_mb": round(nbytes / 1e6, 1),
             "ratio": round(len(out) / nbytes, 4),
             "stock_ratio": round(len(stock) / nbytes, 4),
@@ -88,6 +243,8 @@ def main() -> int:
             "decompress_mb_s": round(dec_mbps, 3),
             "stock_decompress_mb_s": round(stock_dec_mbps, 3),
             "warmup_s": round(warm_s, 1),
+            "ratio_sweep": _ratio_sweep(),
+            "scaling": _scaling_table(),
         },
     }))
     return 0

@@ -35,8 +35,11 @@ from bz2tpu.format import constants as C
 
 _ALPHA = C.HUFFMAN_MAX_ALPHABET  # 258
 _NTAB = C.HUFFMAN_MAX_TABLES  # 6
-_INF_W = jnp.int32(1 << 30)
-_NEG = jnp.int32(-(1 << 30))
+# Plain ints (NOT jnp.int32): module-scope jnp constants would initialize
+# the XLA backend at import time, breaking jax.distributed.initialize in
+# multi-host processes that import bz2tpu before calling it.
+_INF_W = 1 << 30
+_NEG = -(1 << 30)
 
 
 def max_selectors(capacity: int) -> int:

@@ -36,7 +36,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_NEG = jnp.int32(-(1 << 30))
+# Plain int (NOT jnp.int32): a module-scope jnp constant would initialize
+# the XLA backend at import time, breaking jax.distributed.initialize in
+# multi-host processes that import bz2tpu before calling it.
+_NEG = -(1 << 30)
 _USE_PALLAS_DEFAULT = os.environ.get("BZ2TPU_PALLAS", "0") == "1"
 _MAX_RUN_DIGITS = 21  # floor(log2(900_001 + 1)) = 19; margin for any capacity
 
@@ -54,7 +57,7 @@ def _mtf_ranks_collapsed(seq: jnp.ndarray, m: jnp.ndarray, n_in_use: jnp.ndarray
     chunks = seqp.reshape(n_chunks, chunk)
 
     lanes = jnp.arange(256, dtype=jnp.int32)
-    carry0 = jnp.where(lanes < n_in_use, -(lanes + 1), _NEG)
+    carry0 = jnp.where(lanes < n_in_use, -(lanes + 1), jnp.int32(_NEG))
     t_local = jnp.arange(chunk, dtype=jnp.int32)
     ranks0 = jnp.zeros((n_chunks, chunk), jnp.int32)
 

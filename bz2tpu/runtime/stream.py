@@ -74,6 +74,187 @@ class BitStitcher:
             self._carry_bits = 0
 
 
+class StreamCompressor:
+    """Push-style resumable compressor: the checkpoint/resume API.
+
+    The complete cross-batch state of a bzip2 stream at a block boundary is
+    (stream CRC, sub-byte stitcher carry, unencoded raw tail) — exactly the
+    state the reference carries between closeBlocks() rounds
+    (include/OutputStream.hpp:202,225-239). ``checkpoint()`` serializes it;
+    ``StreamCompressor(sink, state=...)`` resumes: feed the remaining input
+    from ``input_offset`` and the resulting stream is byte-identical to an
+    uninterrupted run (block splitting is deterministic in the byte stream,
+    so chunking/kill points never change the output).
+
+    Typical kill-safe loop::
+
+        sc = StreamCompressor(out, level=9, state=saved)   # state=None: fresh
+        for chunk in input_from(sc.input_offset):
+            sc.write(chunk)
+            save(sc.checkpoint())      # after flushing `out` durably
+        sc.close()
+    """
+
+    _STATE_VERSION = 1
+
+    def __init__(
+        self,
+        sink,
+        level: int = C.DEFAULT_LEVEL,
+        parallel: int | None = None,
+        chunk_blocks: int | None = None,
+        metrics=None,
+        state: bytes | None = None,
+    ) -> None:
+        from contextlib import nullcontext
+
+        from bz2tpu.runtime.compressor import DEFAULT_BATCH
+
+        if not C.MIN_LEVEL <= level <= C.MAX_LEVEL:
+            raise ValueError(f"block size level must be 1..9, got {level}")
+        self._sink = sink
+        self._metrics = metrics
+        self._stage = metrics.stage if metrics is not None else (lambda name: nullcontext())
+        self._batch = parallel or DEFAULT_BATCH
+        self._chunk_blocks = chunk_blocks or self._batch
+        self._stitcher = BitStitcher(sink)
+        self._closed = False
+        if state is None:
+            self.level = level
+            self._s_crc = 0
+            self.n_blocks = 0
+            self._n_batches = 0
+            self._pending = b""  # raw bytes accepted but not yet encoded
+            self.input_offset = 0  # total raw bytes accepted via write()
+            head = BitWriter()
+            head.write_bits(24, int.from_bytes(C.STREAM_MAGIC, "big"))
+            head.write_bits(8, ord("0") + self.level)
+            self._stitcher.append(np.frombuffer(head.getvalue(), np.uint8), head.bit_length)
+        else:
+            self._restore(state)
+        self._capacity = C.BLOCK_SIZE_BASE * self.level
+        self._threshold = self._capacity * self._chunk_blocks
+
+    # -- checkpoint serialization ----------------------------------------
+
+    def checkpoint(self) -> bytes:
+        """Serialize the resume state (call after flushing the sink).
+
+        ``sink_bytes`` records how many bytes this stream has emitted; on
+        resume the caller must position/truncate the sink there.
+        """
+        import base64
+        import json
+
+        st = {
+            "v": self._STATE_VERSION,
+            "level": self.level,
+            "s_crc": self._s_crc,
+            "n_blocks": self.n_blocks,
+            "n_batches": self._n_batches,
+            "input_offset": self.input_offset,
+            "pending": base64.b64encode(self._pending).decode(),
+            "carry": self._stitcher._carry,
+            "carry_bits": self._stitcher._carry_bits,
+            "bits_written": self._stitcher.bits_written,
+            "sink_bytes": (self._stitcher.bits_written - self._stitcher._carry_bits) // 8,
+        }
+        return json.dumps(st).encode()
+
+    def _restore(self, state: bytes) -> None:
+        import base64
+        import json
+
+        st = json.loads(state.decode())
+        if st.get("v") != self._STATE_VERSION:
+            raise ValueError(f"unsupported checkpoint version {st.get('v')}")
+        self.level = st["level"]
+        self._s_crc = st["s_crc"]
+        self.n_blocks = st["n_blocks"]
+        self._n_batches = st["n_batches"]
+        self.input_offset = st["input_offset"]
+        self._pending = base64.b64decode(st["pending"])
+        self._stitcher._carry = st["carry"]
+        self._stitcher._carry_bits = st["carry_bits"]
+        self._stitcher.bits_written = st["bits_written"]
+
+    @staticmethod
+    def state_sink_bytes(state: bytes) -> int:
+        """Bytes the sink must hold to resume from `state` (truncate to it)."""
+        import json
+
+        return json.loads(state.decode())["sink_bytes"]
+
+    # -- streaming ---------------------------------------------------------
+
+    def write(self, data: bytes) -> None:
+        if self._closed:
+            raise ValueError("write() after close()")
+        self._pending += bytes(data)
+        self.input_offset += len(data)
+        while len(self._pending) >= self._threshold:
+            if self._encode(final=False) == 0:
+                # Highly compressible input: the pending bytes RLE1-encode
+                # into less than one full block; wait for more input.
+                break
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._encode(final=True)
+        tail = BitWriter()
+        tail.write_bits(48, C.STREAM_END_MARKER)
+        tail.write_bits(32, self._s_crc)
+        self._stitcher.append(np.frombuffer(tail.getvalue(), np.uint8), tail.bit_length)
+        self._stitcher.finish()
+        self._closed = True
+        if self._metrics is not None:
+            self._metrics.blocks += self.n_blocks
+            self._metrics.batches += self._n_batches
+            self._metrics.level = self.level
+
+    def _encode(self, final: bool) -> int:
+        """Encode available full blocks; returns raw bytes consumed."""
+        from bz2tpu.runtime.compressor import (
+            _block_header_bits,
+            _encode_batches,
+            split_blocks,
+        )
+
+        data = np.frombuffer(self._pending, dtype=np.uint8)
+        with self._stage("rle1_split"):
+            blocks = split_blocks(data, self.level)
+        if not final and blocks:
+            # Hold back the trailing (possibly partial) block's raw bytes:
+            # more input may extend it.
+            blocks = blocks[:-1]
+        raw_consumed = sum(b.raw_length for b in blocks)
+        self._pending = self._pending[raw_consumed:] if not final else b""
+        batches = _encode_batches(blocks, self._capacity, self._batch)
+        for blk in blocks:
+            with self._stage("device_encode"):
+                out = next(batches)
+            with self._stage("stitch"):
+                hdr_bytes, hdr_bits = _block_header_bits(
+                    blk.crc,
+                    int(out["orig_ptr"]),
+                    out["used"],
+                    int(out["n_groups"]),
+                    int(out["n_selectors"]),
+                    out["selector_mtf"],
+                    out["lengths"],
+                    int(out["n_in_use"]),
+                )
+                self._stitcher.append(hdr_bytes, hdr_bits)
+                self._stitcher.append(
+                    out["words"].astype(">u4").view(np.uint8), int(out["total_bits"])
+                )
+            self._s_crc = stream_crc_fold(self._s_crc, blk.crc)
+            self.n_blocks += 1
+        self._n_batches += (len(blocks) + self._batch - 1) // self._batch
+        return raw_consumed
+
+
 def compress_stream(
     reader,
     sink,
@@ -86,96 +267,18 @@ def compress_stream(
 
     Reads ~chunk_blocks blocks of raw input at a time, encodes full blocks
     on the device, and carries the partial trailing block's raw bytes into
-    the next chunk.
+    the next chunk (see StreamCompressor for the resumable push API).
     """
-    from bz2tpu.runtime.compressor import (
-        DEFAULT_BATCH,
-        _block_header_bits,
-        _encode_batches,
-        split_blocks,
+    sc = StreamCompressor(
+        sink, level=level, parallel=parallel, chunk_blocks=chunk_blocks, metrics=metrics
     )
-
-    if not C.MIN_LEVEL <= level <= C.MAX_LEVEL:
-        raise ValueError(f"block size level must be 1..9, got {level}")
-    batch = parallel or DEFAULT_BATCH
-    chunk_blocks = chunk_blocks or batch
-    capacity = C.BLOCK_SIZE_BASE * level
-    # RLE1 in the worst case expands 4 raw bytes to 5 output bytes; reading
-    # capacity*chunk_blocks raw bytes guarantees >= chunk_blocks-1 full
-    # blocks per round while bounding memory.
-    read_size = capacity * chunk_blocks
-
-    from contextlib import nullcontext
-
-    stage = metrics.stage if metrics is not None else (lambda name: nullcontext())
-
-    stitcher = BitStitcher(sink)
-    head = BitWriter()
-    head.write_bits(24, int.from_bytes(C.STREAM_MAGIC, "big"))
-    head.write_bits(8, ord("0") + level)
-    stitcher.append(np.frombuffer(head.getvalue(), np.uint8), head.bit_length)
-
-    s_crc = 0
-    n_blocks = 0
-    n_batches = 0
-    leftover = b""
-    eof = False
-    while not eof:
-        # Accumulate a full chunk: file-likes may legally return short
-        # reads before EOF (pipes, sockets); only b"" means end of input.
-        pieces = []
-        got = 0
-        while got < read_size:
-            piece = reader.read(read_size - got)
-            if not piece:
-                eof = True
-                break
-            pieces.append(piece)
-            got += len(piece)
-        chunk = b"".join(pieces)
-        data = np.frombuffer(leftover + chunk, dtype=np.uint8)
-        del chunk
-        with stage("rle1_split"):
-            blocks = split_blocks(data, level)
-        if not eof and blocks:
-            # Hold back the trailing (possibly partial) block's raw bytes.
-            raw_consumed = sum(b.raw_length for b in blocks[:-1])
-            leftover = data[raw_consumed:].tobytes()
-            blocks = blocks[:-1]
-        else:
-            leftover = b""
-        batches = _encode_batches(blocks, capacity, batch)
-        for blk in blocks:
-            with stage("device_encode"):
-                out = next(batches)
-            with stage("stitch"):
-                hdr_bytes, hdr_bits = _block_header_bits(
-                    blk.crc,
-                    int(out["orig_ptr"]),
-                    out["used"],
-                    int(out["n_groups"]),
-                    int(out["n_selectors"]),
-                    out["selector_mtf"],
-                    out["lengths"],
-                    int(out["n_in_use"]),
-                )
-                stitcher.append(hdr_bytes, hdr_bits)
-                stitcher.append(
-                    out["words"].astype(">u4").view(np.uint8), int(out["total_bits"])
-                )
-            s_crc = stream_crc_fold(s_crc, blk.crc)
-            n_blocks += 1
-        n_batches += (len(blocks) + batch - 1) // batch
-
-    tail = BitWriter()
-    tail.write_bits(48, C.STREAM_END_MARKER)
-    tail.write_bits(32, s_crc)
-    stitcher.append(np.frombuffer(tail.getvalue(), np.uint8), tail.bit_length)
-    stitcher.finish()
-    if metrics is not None:
-        metrics.blocks += n_blocks
-        metrics.batches += n_batches
-        metrics.level = level
+    read_size = sc._threshold
+    while True:
+        piece = reader.read(read_size)
+        if not piece:
+            break
+        sc.write(piece)
+    sc.close()
 
 
 def compress_file(

@@ -34,3 +34,51 @@ def test_jax_pipeline_levels(rng):
         out = compress(data, level=level)
         assert out[:4] == b"BZh%d" % level
         assert stdlib_bz2.decompress(out) == data
+
+
+@pytest.mark.slow
+def test_level9_full_capacity_round_trip(rng):
+    # VERDICT r1: the 900k code paths (while-loop trip counts, run-digit
+    # bounds, packed_words sizing) must be exercised by the suite, not only
+    # by bench.py. One full-capacity level-9 block plus one crossing the
+    # block boundary.
+    import bz2 as stdlib_bz2
+    import io
+
+    from bz2tpu.format import constants as C
+    from bz2tpu.runtime.stream import compress_stream
+
+    n = C.block_capacity(9) + 1234  # crosses into a second block
+    data = make_corpus(rng, "text", n)
+    sink = io.BytesIO()
+    compress_stream(io.BytesIO(data), sink, level=9, chunk_blocks=2)
+    out = sink.getvalue()
+    assert stdlib_bz2.decompress(out) == data
+    # It really used level-9 blocks: exactly 2 block headers.
+    from bz2tpu import native
+
+    headers, ends = native.scan_blocks(out)
+    assert len(headers) == 2 and len(ends) == 1
+
+
+@pytest.mark.slow
+def test_level9_capacity_boundary_exact(rng):
+    # Exactly at capacity: a single full block.
+    import bz2 as stdlib_bz2
+    import io
+
+    from bz2tpu import native
+    from bz2tpu.format import constants as C
+    from bz2tpu.runtime.stream import compress_stream
+
+    import numpy as np
+
+    # Run-free bytes (no two adjacent equal): RLE1 output length == input
+    # length exactly, so capacity bytes fill exactly one block.
+    data = (np.arange(C.block_capacity(9), dtype=np.int64) % 251).astype(np.uint8).tobytes()
+    sink = io.BytesIO()
+    compress_stream(io.BytesIO(data), sink, level=9)
+    out = sink.getvalue()
+    assert stdlib_bz2.decompress(out) == data
+    headers, _ = native.scan_blocks(out)
+    assert len(headers) == 1
