@@ -22,7 +22,9 @@ def initialize(
     With no arguments, attempts environment auto-detection (TPU pod
     metadata, cluster env vars) exactly like jax.distributed.initialize;
     a plain single-process environment with nothing to detect degrades to
-    a no-op instead of raising. Explicit arguments always propagate errors.
+    a single-process run WITH A LOUD WARNING (a misconfigured pod must not
+    silently compress on 1/N of its hosts). Explicit arguments always
+    propagate errors.
     """
     import jax
 
@@ -35,10 +37,19 @@ def initialize(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
+    except (RuntimeError, ValueError) as e:
         if explicit:
             raise
-        # No cluster environment detected: single-process run.
+        import warnings
+
+        warnings.warn(
+            "jax.distributed auto-detection failed "
+            f"({e}); continuing SINGLE-PROCESS. If this host is part of a "
+            "multi-host run, pass coordinator_address/num_processes/"
+            "process_id explicitly.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def is_primary() -> bool:
