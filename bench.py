@@ -228,6 +228,20 @@ def main() -> int:
     stdlib_bz2.decompress(out)
     stock_dec_mbps = nbytes / (time.time() - t0) / 1e6
 
+    # Device decode path (Huffman+MTF+IBWT on the TPU): measured on a
+    # 2-block slice; reported honestly — on this terminal the host C path
+    # wins, the device path is the design for real-HBM hardware.
+    from bz2tpu.runtime.device_decode import _decompress_device_inner
+
+    slice_in = make_mixed_corpus(2 * C.BLOCK_SIZE_BASE)
+    slice_comp = stdlib_bz2.compress(slice_in, 1)
+    _decompress_device_inner(slice_comp, True)  # compile
+    t0 = time.time()
+    dd = _decompress_device_inner(slice_comp, True)
+    dev_dec_mbps = (
+        round(len(slice_in) / (time.time() - t0) / 1e6, 3) if dd == slice_in else None
+    )
+
     print(json.dumps({
         "metric": "compress_throughput",
         "value": round(ours, 3),
@@ -242,6 +256,7 @@ def main() -> int:
             "stock_mb_s": round(stock_mbps, 3),
             "decompress_mb_s": round(dec_mbps, 3),
             "stock_decompress_mb_s": round(stock_dec_mbps, 3),
+            "device_decompress_mb_s": dev_dec_mbps,
             "warmup_s": round(warm_s, 1),
             "ratio_sweep": _ratio_sweep(),
             "scaling": _scaling_table(),

@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--metrics", action="store_true", help="print JSON metrics to stderr")
     p.add_argument("--banner", action="store_true", help="print device info to stderr")
     p.add_argument("--trace", metavar="DIR", help="write a JAX profiler trace to DIR")
+    p.add_argument(
+        "--prime", action="store_true",
+        help="pre-compile pipeline shapes for --size into the persistent "
+        "XLA cache (one-time; makes cold runs fast), then exit",
+    )
     return p
 
 
@@ -80,6 +85,12 @@ def main(argv: list[str] | None = None) -> int:
         from bz2tpu.utils.device import print_device_banner
 
         print_device_banner()
+
+    if args.prime:
+        from bz2tpu.utils.jaxenv import prime
+
+        prime(levels=(args.size,), batch=args.parallel or None, verbose=args.verbose or True)
+        return 0
 
     use_stdio = args.file == "-"
     if not use_stdio and not os.path.exists(args.file):

@@ -13,14 +13,15 @@ import jax
 import jax.numpy as jnp
 
 from bz2tpu.ops.bwt import bwt_encode
-from bz2tpu.ops.emit import pack_symbol_data
+from bz2tpu.ops.emit import pack_block, pack_symbol_data
 from bz2tpu.ops.huffman import huffman_assign, max_selectors
 from bz2tpu.ops.mtf import mtf_rle2_encode
 
 
-def encode_block(block, n, *, mtf_chunk: int = 8192):
-    """Encode one padded block; returns everything the driver needs to emit
-    the block bitstream (reference close_block, kernel.cpp:3099-3122)."""
+def encode_block(block, n, crc, *, mtf_chunk: int = 8192):
+    """Encode one padded block into its COMPLETE bitstream (header +
+    symbol data) on device (reference close_block, kernel.cpp:3099-3122;
+    the header emission matches kernel.cpp:2483-2511,2991-3041)."""
     capacity = block.shape[-1]
     maxsel = max_selectors(capacity)
     last, orig_ptr = bwt_encode(block, n)
@@ -28,11 +29,11 @@ def encode_block(block, n, *, mtf_chunk: int = 8192):
     plan = huffman_assign(
         mtf["symbols"], mtf["n_sym"], mtf["freqs"], mtf["n_in_use"], maxsel=maxsel
     )
-    words, total_bits = pack_symbol_data(
-        mtf["symbols"], plan["selectors"], plan["lengths"], plan["codes"], maxsel=maxsel
+    words, total_bits = pack_block(
+        mtf["symbols"], plan["selectors"], plan["lengths"], plan["codes"],
+        crc, orig_ptr, mtf["used"], plan["n_groups"], plan["n_selectors"],
+        plan["selector_mtf"], maxsel=maxsel,
     )
-    # Narrow dtypes on everything the host fetches — the device link is the
-    # bottleneck, not device memory (selector ranks < 6, lengths <= 20).
     return {
         "orig_ptr": orig_ptr,
         "used": mtf["used"],
@@ -40,17 +41,16 @@ def encode_block(block, n, *, mtf_chunk: int = 8192):
         "n_in_use": mtf["n_in_use"],
         "n_groups": plan["n_groups"],
         "n_selectors": plan["n_selectors"],
-        "selector_mtf": plan["selector_mtf"].astype(jnp.uint8),
-        "lengths": plan["lengths"].astype(jnp.uint8),
         "words": words,
         "total_bits": total_bits,
     }
 
 
 @functools.partial(jax.jit, static_argnames=("mtf_chunk",))
-def encode_blocks(blocks, ns, *, mtf_chunk: int = 8192):
-    """vmapped batch encode: blocks (B, capacity) uint8, ns (B,) int32."""
-    return jax.vmap(functools.partial(encode_block, mtf_chunk=mtf_chunk))(blocks, ns)
+def encode_blocks(blocks, ns, crcs, *, mtf_chunk: int = 8192):
+    """vmapped batch encode: blocks (B, capacity) uint8, ns (B,) int32,
+    crcs (B,) uint32 (per-block CRCs from the RLE1 intake)."""
+    return jax.vmap(functools.partial(encode_block, mtf_chunk=mtf_chunk))(blocks, ns, crcs)
 
 
 # --- staged form: three smaller compilations instead of one mega-graph ---
@@ -72,20 +72,22 @@ def mtf_stage(last, ns, *, mtf_chunk: int = 8192):
 
 
 @jax.jit
-def huff_pack_stage(symbols, n_sym, freqs, n_in_use, orig_ptr, used):
-    """Huffman planning + packing; also bundles the per-block scalars into
-    one (B, 6) 'meta' array and the header-writer inputs into one uint8
-    'header_blob' so the host pulls each in a single transfer (every fetch
-    is an RPC on remote terminals). Meta layout: orig_ptr, n_sym, n_in_use,
-    n_groups, n_selectors, total_bits. Blob: used(256) | lengths(6*258) |
-    selector_mtf(maxsel)."""
+def huff_pack_stage(symbols, n_sym, freqs, n_in_use, orig_ptr, used, crcs):
+    """Huffman planning + COMPLETE block emission (header + symbol data
+    packed on device, ops/emit.pack_block) with per-block scalars bundled
+    into one (B, 6) 'meta' array so the host pulls everything in two
+    transfers (meta + sliced words; every fetch is an RPC on remote
+    terminals). Meta layout: orig_ptr, n_sym, n_in_use, n_groups,
+    n_selectors, total_bits."""
     capacity = symbols.shape[-1] - 2
     maxsel = max_selectors(capacity)
 
-    def one(sym, nsym, fr, niu, optr, usd):
+    def one(sym, nsym, fr, niu, optr, usd, crc):
         plan = huffman_assign(sym, nsym, fr, niu, maxsel=maxsel)
-        words, total_bits = pack_symbol_data(
-            sym, plan["selectors"], plan["lengths"], plan["codes"], maxsel=maxsel
+        words, total_bits = pack_block(
+            sym, plan["selectors"], plan["lengths"], plan["codes"],
+            crc, optr, usd, plan["n_groups"], plan["n_selectors"],
+            plan["selector_mtf"], maxsel=maxsel,
         )
         meta = jnp.stack(
             [optr, nsym, niu, plan["n_groups"], plan["n_selectors"], total_bits]
@@ -93,32 +95,21 @@ def huff_pack_stage(symbols, n_sym, freqs, n_in_use, orig_ptr, used):
         return {
             "n_groups": plan["n_groups"],
             "n_selectors": plan["n_selectors"],
-            "selector_mtf": plan["selector_mtf"].astype(jnp.uint8),
-            "lengths": plan["lengths"].astype(jnp.uint8),
             "words": words,
             "total_bits": total_bits,
             "meta": meta,
-            # Everything the host-side header writer needs, in ONE uint8
-            # buffer per block (single fetch): used map | lengths | sel_mtf.
-            "header_blob": jnp.concatenate(
-                [
-                    usd.astype(jnp.uint8),  # 256
-                    plan["lengths"].astype(jnp.uint8).reshape(-1),  # 6*258
-                    plan["selector_mtf"].astype(jnp.uint8),  # maxsel
-                ]
-            ),
         }
 
-    return jax.vmap(one)(symbols, n_sym, freqs, n_in_use, orig_ptr, used)
+    return jax.vmap(one)(symbols, n_sym, freqs, n_in_use, orig_ptr, used, crcs)
 
 
-def encode_blocks_staged(blocks, ns, *, mtf_chunk: int = 8192):
+def encode_blocks_staged(blocks, ns, crcs, *, mtf_chunk: int = 8192):
     """Same result pytree as encode_blocks (plus 'meta'), via staged jits."""
     last, orig_ptr = bwt_stage(blocks, ns)
     mtf = mtf_stage(last, ns, mtf_chunk=mtf_chunk)
     out = huff_pack_stage(
         mtf["symbols"], mtf["n_sym"], mtf["freqs"], mtf["n_in_use"], orig_ptr,
-        mtf["used"],
+        mtf["used"], crcs,
     )
     out = dict(out)
     out["orig_ptr"] = orig_ptr

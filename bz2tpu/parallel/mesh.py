@@ -63,24 +63,32 @@ def _sharded_stages(mesh: Mesh, mtf_chunk: int):
     return (
         sm(bwt_stage, 2),
         sm(functools.partial(mtf_stage, mtf_chunk=mtf_chunk), 2),
-        sm(huff_pack_stage, 6),
+        sm(huff_pack_stage, 7),
     )
 
 
-def encode_blocks_sharded(blocks, ns, *, mesh: Mesh, mtf_chunk: int = 8192):
+def encode_blocks_sharded(blocks, ns, crcs=None, *, mesh: Mesh, mtf_chunk: int = 8192):
     """Batched block encode, blocks sharded over the mesh.
 
-    blocks: (B, capacity) uint8 with B divisible by mesh size; ns: (B,).
+    blocks: (B, capacity) uint8 with B divisible by mesh size; ns: (B,);
+    crcs: (B,) uint32 per-block CRCs (device header emission needs them;
+    zeros when omitted — the streams then carry zero block CRCs and only
+    suit tests that ignore CRC fields).
     Returns the same pytree as ops.pipeline.encode_blocks_staged, sharded
     on the leading axis; fetching it in order IS the ordered gather.
     """
+    import jax.numpy as jnp
+
     bwt_s, mtf_s, huff_s = _sharded_stages(mesh, mtf_chunk)
+    if crcs is None:
+        crcs = jnp.zeros(blocks.shape[0], jnp.uint32)
     blocks = jax.device_put(blocks, NamedSharding(mesh, P("blocks", None)))
     ns = jax.device_put(ns, NamedSharding(mesh, P("blocks")))
+    crcs = jax.device_put(crcs, NamedSharding(mesh, P("blocks")))
     last, orig_ptr = bwt_s(blocks, ns)
     mtf = mtf_s(last, ns)
     out = dict(
-        huff_s(mtf["symbols"], mtf["n_sym"], mtf["freqs"], mtf["n_in_use"], orig_ptr, mtf["used"])
+        huff_s(mtf["symbols"], mtf["n_sym"], mtf["freqs"], mtf["n_in_use"], orig_ptr, mtf["used"], crcs)
     )
     out["orig_ptr"] = orig_ptr
     out["used"] = mtf["used"]

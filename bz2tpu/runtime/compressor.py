@@ -49,7 +49,12 @@ def _block_header_bits(
     lengths: np.ndarray,
     n_in_use: int,
 ) -> tuple[np.ndarray, int]:
-    """Everything before the Huffman-coded symbol data of one block."""
+    """Everything before the Huffman-coded symbol data of one block.
+
+    HOST ORACLE ONLY: the runtime emits the whole block — header included —
+    on device (ops/emit.pack_block); this NumPy writer remains as the
+    differential-test reference for that emission
+    (tests/test_ops_emit_header.py)."""
     w = BitWriter()
     w.write_bits(48, C.BLOCK_HEADER_MARKER)
     w.write_bits(32, crc)
@@ -132,12 +137,12 @@ def _encode_batches(blocks: list[Rle1Block], capacity: int, batch: int):
     n_dev = jax.device_count()
     use_mesh = n_dev > 1 and batch % n_dev == 0
 
-    def run(buf, ns):
+    def run(buf, ns, crcs):
         if use_mesh:
             from bz2tpu.parallel.mesh import block_mesh, encode_blocks_sharded
 
-            return encode_blocks_sharded(buf, ns, mesh=block_mesh())
-        return encode_blocks_staged(buf, ns)
+            return encode_blocks_sharded(buf, ns, crcs, mesh=block_mesh())
+        return encode_blocks_staged(buf, ns, crcs)
 
     def dispatch(base):
         chunk = blocks[base : base + batch]
@@ -145,29 +150,28 @@ def _encode_batches(blocks: list[Rle1Block], capacity: int, batch: int):
         # round (recompiles cost minutes on the TPU terminal).
         buf = np.zeros((batch, capacity), dtype=np.uint8)
         ns = np.ones(batch, dtype=np.int32)  # padding rows encode 1 junk byte
+        crcs = np.zeros(batch, dtype=np.uint32)
         for i, blk in enumerate(chunk):
             buf[i, : blk.data.size] = blk.data
             ns[i] = blk.data.size
-        return len(chunk), run(jnp.asarray(buf), jnp.asarray(ns))
+            crcs[i] = blk.crc
+        return len(chunk), run(jnp.asarray(buf), jnp.asarray(ns), jnp.asarray(crcs))
 
     META = ("orig_ptr", "n_sym", "n_in_use", "n_groups", "n_selectors", "total_bits")
     pending = dispatch(bases[0]) if bases else None
     for bi, base in enumerate(bases):
         n_chunk, out = pending
         pending = dispatch(bases[bi + 1]) if bi + 1 < len(bases) else None
-        # Three fetches per batch: packed scalars, the header blob
-        # (used | lengths | selector ranks), and the compressed words
-        # (each fetch is an RPC round trip).
+        # Two fetches per batch: packed scalars and the compressed words —
+        # the device emits the COMPLETE block bitstream (header included,
+        # ops/emit.pack_block), so no header blob exists anymore (each
+        # fetch is an RPC round trip).
         meta = np.asarray(out["meta"])
-        blob = np.asarray(out["header_blob"])
         words = _fetch_words_batch(
             out["words"], [int(meta[i, 5]) for i in range(n_chunk)]
         )
         for i in range(n_chunk):
             row = {k: int(meta[i, j]) for j, k in enumerate(META)}
-            row["used"] = blob[i, :256].astype(bool)
-            row["lengths"] = blob[i, 256 : 256 + 6 * 258].reshape(6, 258)
-            row["selector_mtf"] = blob[i, 256 + 6 * 258 :]
             row["words"] = words[i]
             yield row
 
@@ -195,21 +199,9 @@ def compress(
     head.write_bits(8, ord("0") + level)
     parts.append((np.frombuffer(head.getvalue(), dtype=np.uint8), head.bit_length))
 
-    for blk, out in zip(blocks, _encode_batches(blocks, capacity, batch)):
-        hdr_bytes, hdr_bits = _block_header_bits(
-            blk.crc,
-            int(out["orig_ptr"]),
-            out["used"],
-            int(out["n_groups"]),
-            int(out["n_selectors"]),
-            out["selector_mtf"],
-            out["lengths"],
-            int(out["n_in_use"]),
-        )
-        parts.append((hdr_bytes, hdr_bits))
-        sym_bits = int(out["total_bits"])
-        sym_bytes = out["words"].astype(">u4").view(np.uint8)
-        parts.append((sym_bytes, sym_bits))
+    for out in _encode_batches(blocks, capacity, batch):
+        # The device words ARE the complete block (header + symbol data).
+        parts.append((out["words"].astype(">u4").view(np.uint8), int(out["total_bits"])))
 
     tail = BitWriter()
     tail.write_bits(48, C.STREAM_END_MARKER)

@@ -215,11 +215,7 @@ class StreamCompressor:
 
     def _encode(self, final: bool) -> int:
         """Encode available full blocks; returns raw bytes consumed."""
-        from bz2tpu.runtime.compressor import (
-            _block_header_bits,
-            _encode_batches,
-            split_blocks,
-        )
+        from bz2tpu.runtime.compressor import _encode_batches, split_blocks
 
         data = np.frombuffer(self._pending, dtype=np.uint8)
         with self._stage("rle1_split"):
@@ -235,17 +231,7 @@ class StreamCompressor:
             with self._stage("device_encode"):
                 out = next(batches)
             with self._stage("stitch"):
-                hdr_bytes, hdr_bits = _block_header_bits(
-                    blk.crc,
-                    int(out["orig_ptr"]),
-                    out["used"],
-                    int(out["n_groups"]),
-                    int(out["n_selectors"]),
-                    out["selector_mtf"],
-                    out["lengths"],
-                    int(out["n_in_use"]),
-                )
-                self._stitcher.append(hdr_bytes, hdr_bits)
+                # Device words are the complete block bitstream.
                 self._stitcher.append(
                     out["words"].astype(">u4").view(np.uint8), int(out["total_bits"])
                 )

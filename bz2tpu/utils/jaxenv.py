@@ -28,3 +28,25 @@ def setup_compilation_cache(path: str | None = None) -> None:
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _DONE = True
+
+
+def prime(levels=(9,), batch: int | None = None, verbose: bool = True) -> None:
+    """Pre-compile the standard pipeline shapes into the persistent cache.
+
+    Cold CLI runs otherwise pay the full XLA compile (minutes per shape on
+    remote TPU terminals — the round-1 cold start was ~16 minutes). The
+    compiled programs depend only on (level, batch) shapes, so compressing
+    a tiny input exercises exactly the executables real runs need; after
+    one prime, cold processes hit the cache. The analog of the reference
+    shipping a prebuilt kernel binary (reference include/opencl.hpp:203).
+    """
+    import time
+
+    setup_compilation_cache()
+    from bz2tpu.runtime.compressor import DEFAULT_BATCH, compress
+
+    for level in levels:
+        t0 = time.time()
+        compress(b"prime" * 300, level=level, parallel=batch or DEFAULT_BATCH)
+        if verbose:
+            print(f"primed level {level}: {time.time() - t0:.1f}s")

@@ -65,3 +65,10 @@ def test_rm_flag(tmp_path, rng):
     r = run_cli([str(src), "--backend", "oracle", "--size", "1", "--rm"])
     assert r.returncode == 0
     assert not src.exists()
+
+
+def test_cli_prime(tmp_path, monkeypatch):
+    # --prime pre-compiles the (level, batch) shapes and exits 0.
+    from bz2tpu.cli import main
+
+    assert main(["-", "--prime", "--size", "1", "--parallel", "2"]) == 0

@@ -28,11 +28,12 @@ def test_sharded_matches_single_device(rng):
         d = np.frombuffer(make_corpus(rng, "text", int(rng.integers(64, cap))), np.uint8)
         blocks[i, : d.size] = d
         ns[i] = d.size
+    crcs = rng.integers(0, 1 << 32, B).astype(np.uint32)
     mesh = block_mesh()
     sharded = encode_blocks_sharded(
-        jnp.asarray(blocks), jnp.asarray(ns), mesh=mesh, mtf_chunk=256
+        jnp.asarray(blocks), jnp.asarray(ns), jnp.asarray(crcs), mesh=mesh, mtf_chunk=256
     )
-    single = encode_blocks(jnp.asarray(blocks), jnp.asarray(ns), mtf_chunk=256)
+    single = encode_blocks(jnp.asarray(blocks), jnp.asarray(ns), jnp.asarray(crcs), mtf_chunk=256)
     for key in ("orig_ptr", "n_sym", "total_bits", "words"):
         np.testing.assert_array_equal(np.asarray(sharded[key]), np.asarray(single[key]))
 
