@@ -176,6 +176,82 @@ def _encode_batches(blocks: list[Rle1Block], capacity: int, batch: int):
             yield row
 
 
+def compress_device_intake(
+    data: bytes | np.ndarray,
+    level: int = C.DEFAULT_LEVEL,
+    parallel: int | None = None,
+) -> bytes:
+    """Compress with the FULLY-DEVICE pipeline: RLE1, block splitting, and
+    per-block CRCs run on the TPU (ops/intake.py) — no native extension
+    and no host pass over the raw bytes; the host only uploads chunks and
+    stitches finished block bitstreams.
+
+    Streams are valid and CRC-exact; block boundaries can differ from the
+    host-intake path only when a chunk ends in a partial block on highly
+    compressible data (both splits are conformant).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from bz2tpu.ops.intake import chunk_capacity, device_intake
+    from bz2tpu.ops.pipeline import encode_blocks_staged
+    from bz2tpu.utils.jaxenv import setup_compilation_cache
+
+    setup_compilation_cache()
+    arr = (
+        np.frombuffer(bytes(data), dtype=np.uint8)
+        if not isinstance(data, np.ndarray)
+        else np.ascontiguousarray(data, dtype=np.uint8)
+    )
+    if not C.MIN_LEVEL <= level <= C.MAX_LEVEL:
+        raise ValueError(f"block size level must be 1..9, got {level}")
+    batch = parallel or DEFAULT_BATCH
+    capacity = C.BLOCK_SIZE_BASE * level
+    chunk_n = chunk_capacity(level, batch)
+
+    parts: list[tuple[np.ndarray, int]] = []
+    head = BitWriter()
+    head.write_bits(24, int.from_bytes(C.STREAM_MAGIC, "big"))
+    head.write_bits(8, ord("0") + level)
+    parts.append((np.frombuffer(head.getvalue(), dtype=np.uint8), head.bit_length))
+
+    s_crc = 0
+    offset = 0
+    crc_list: list[int] = []
+    while offset < arr.size or (offset == 0 and arr.size == 0):
+        if arr.size == 0:
+            break
+        take = min(chunk_n, arr.size - offset)
+        padded = np.zeros(chunk_n, np.uint8)
+        padded[:take] = arr[offset : offset + take]
+        res = device_intake(
+            jnp.asarray(padded), jnp.int32(take), level=level, max_blocks=batch
+        )
+        nb = int(res["n_blocks"])
+        raw_lens = np.asarray(res["raw_lens"])
+        ns_host = np.asarray(res["ns"])
+        more = offset + take < arr.size
+        if more and nb > 1 and ns_host[nb - 1] < capacity - C.RLE1_MIN_RUN - 1:
+            nb -= 1  # hold back the partial trailing block for the next chunk
+        out = encode_blocks_staged(res["blocks"], res["ns"], res["crcs"])
+        meta = np.asarray(out["meta"])
+        crcs_host = np.asarray(res["crcs"])
+        words = _fetch_words_batch(
+            out["words"], [int(meta[i, 5]) for i in range(nb)]
+        )
+        for i in range(nb):
+            parts.append((words[i].astype(">u4").view(np.uint8), int(meta[i, 5])))
+            crc_list.append(int(crcs_host[i]))
+        offset += int(raw_lens[:nb].sum())
+
+    tail = BitWriter()
+    tail.write_bits(48, C.STREAM_END_MARKER)
+    tail.write_bits(32, stream_crc(crc_list))
+    parts.append((np.frombuffer(tail.getvalue(), dtype=np.uint8), tail.bit_length))
+    packed, _ = concat_bitstreams(parts)
+    return packed.tobytes()
+
+
 def compress(
     data: bytes | np.ndarray,
     level: int = C.DEFAULT_LEVEL,
