@@ -197,6 +197,95 @@ def _stream_file_parallel(mm, fout, verify_crc: bool, window: int) -> bool:
     return True
 
 
+class StreamDecompressor:
+    """Incremental push-style decoder (stdlib bz2.BZ2Decompressor parity).
+
+    The reference's InputStream is pull-based and needs the whole stream
+    behind it (include/InputStream.hpp:51-95); this accepts arbitrary
+    chunks, emits every block that is complete so far, and keeps bounded
+    memory by discarding consumed compressed bytes. One stream per
+    instance: after ``eof``, the remaining bytes are in ``unused_data``
+    and further ``decompress()`` calls raise EOFError (stdlib parity).
+
+    Requires the native core (the one-shot paths work without it).
+    """
+
+    def __init__(self, verify_crc: bool = True) -> None:
+        if not native.HAVE_NATIVE:
+            raise RuntimeError("StreamDecompressor requires the native extension")
+        self._verify = verify_crc
+        self._buf = bytearray()
+        self._bit = 0  # absolute bit position within _buf
+        self._level = None
+        self._s_crc = 0
+        self.eof = False
+        self.unused_data = b""
+        self.needs_input = True
+
+    def _read_bits(self, pos: int, n: int) -> int | None:
+        if pos + n > len(self._buf) * 8:
+            return None
+        v = 0
+        for k in range(n):
+            p = pos + k
+            v = (v << 1) | ((self._buf[p >> 3] >> (7 - (p & 7))) & 1)
+        return v
+
+    def decompress(self, data: bytes) -> bytes:
+        if self.eof:
+            raise EOFError("End of stream already reached")
+        self._buf += data
+        out: list[bytes] = []
+        while True:
+            if self._level is None:
+                if len(self._buf) < 4:
+                    break
+                if bytes(self._buf[:3]) != b"BZh" or not (
+                    ord("1") <= self._buf[3] <= ord("9")
+                ):
+                    raise Bz2FormatError("bad stream magic (expected BZh)")
+                self._level = self._buf[3] - ord("0")
+                self._bit = 32
+            marker = self._read_bits(self._bit, 48)
+            if marker is None:
+                break
+            if marker == 0x177245385090:
+                stored = self._read_bits(self._bit + 48, 32)
+                if stored is None:
+                    break
+                if self._verify and stored != self._s_crc:
+                    raise Bz2CrcError(
+                        f"stream CRC mismatch: {stored:#x} != {self._s_crc:#x}"
+                    )
+                end_byte = (self._bit + 80 + 7) // 8
+                self.eof = True
+                self.needs_input = False
+                self.unused_data = bytes(self._buf[end_byte:])
+                break
+            if marker != 0x314159265359:
+                raise Bz2FormatError(f"bad block marker {marker:#x}")
+            try:
+                block, crc, end_bit = native.decode_block_at(
+                    bytes(self._buf), self._bit, self._level, self._verify
+                )
+            except native.CrcError as e:
+                raise Bz2CrcError(str(e)) from None
+            except ValueError as e:
+                if str(e).startswith("truncated"):
+                    break  # need more input
+                raise Bz2FormatError(str(e)) from None
+            out.append(block)
+            self._s_crc = stream_crc_fold(self._s_crc, crc)
+            self._bit = end_bit
+            # Bounded memory: drop consumed whole bytes.
+            drop = self._bit >> 3
+            if drop > (1 << 16):
+                del self._buf[:drop]
+                self._bit -= drop * 8
+        self.needs_input = not self.eof
+        return b"".join(out)
+
+
 def decompress(stream: bytes, verify_crc: bool = True) -> bytes:
     stream = bytes(stream)
     if native.HAVE_NATIVE:
