@@ -77,26 +77,9 @@ def _parse_block_header(stream: bytes, bit_off: int) -> dict:
     }
 
 
-@functools.partial(
-    jax.jit, static_argnames=("max_groups", "m_sym", "out_cap", "n_bits_cap")
-)
-def _decode_block_jit(
-    stream,
-    start_bit,
-    end_bit,
-    selectors,
-    n_groups,
-    limit,
-    base,
-    perm,
-    eob,
-    init_list,
-    orig_ptr,
-    *,
-    max_groups: int,
-    m_sym: int,
-    out_cap: int,
-    n_bits_cap: int,
+def _decode_block_core(
+    stream, start_bit, end_bit, selectors, n_groups, limit, base, perm,
+    eob, init_list, orig_ptr, *, max_groups, m_sym, out_cap, n_bits_cap,
 ):
     hd = decode_symbol_data(
         stream, start_bit, end_bit, selectors, n_groups, limit, base, perm,
@@ -109,6 +92,43 @@ def _decode_block_jit(
     decoded = ibwt(md["bwt"], md["n_bwt"], orig_ptr)
     ok = hd["ok"] & md["ok"] & (orig_ptr < md["n_bwt"])
     return decoded, md["n_bwt"], ok
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_groups", "m_sym", "out_cap", "n_bits_cap")
+)
+def _decode_blocks_jit(
+    stream,
+    start_bits,
+    end_bits,
+    selectors,
+    n_groups,
+    limits,
+    bases,
+    perms,
+    eobs,
+    init_lists,
+    orig_ptrs,
+    *,
+    max_groups: int,
+    m_sym: int,
+    out_cap: int,
+    n_bits_cap: int,
+):
+    """Batched block decode: vmap of the chain over same-shape blocks
+    (stream broadcast; all per-block inputs stacked on axis 0)."""
+
+    def one(sb, eb, sl, ng, li, ba, pe, eo, il, op):
+        return _decode_block_core(
+            stream, sb, eb, sl, ng, li, ba, pe, eo, il, op,
+            max_groups=max_groups, m_sym=m_sym, out_cap=out_cap,
+            n_bits_cap=n_bits_cap,
+        )
+
+    return jax.vmap(one)(
+        start_bits, end_bits, selectors, n_groups, limits, bases, perms,
+        eobs, init_lists, orig_ptrs,
+    )
 
 
 def _pow2_at_least(n: int, floor: int = 16) -> int:
@@ -150,52 +170,85 @@ def _decompress_device_inner(stream: bytes, verify_crc: bool) -> bytes | None:
     stream_dev = jax.device_put(jnp.asarray(padded))
 
     out_cap = _pow2_at_least(level * C.BLOCK_SIZE_BASE)
-    pieces: list[bytes] = []
-    s_crc = 0
+
+    # Host header parse for every block, then bucket same-shape blocks and
+    # decode each bucket in ONE vmapped device call (+ one sliced fetch).
+    parsed = []
     for i, start in enumerate(headers):
         try:
             hdr = _parse_block_header(stream, start)
         except (Bz2FormatError, EOFError):
             return None
-        n_groups = hdr["selectors"].size
-        gmax = _pow2_at_least(n_groups)
-        m_sym = -(-gmax * C.HUFFMAN_GROUP_SIZE // 128) * 128
-        sel = np.zeros(gmax, np.int32)
-        sel[:n_groups] = hdr["selectors"]
-        limit, base, perm = decode_tables_arrays(hdr["tables"])
-        init_list = np.zeros(256, np.int32)
-        init_list[: hdr["used_bytes"].size] = hdr["used_bytes"]
         n_bits = boundaries[i] - hdr["data_start_bit"]
         if n_bits <= 0:
             return None
-        decoded, n_bwt, ok = _decode_block_jit(
-            stream_dev,
-            jnp.int32(hdr["data_start_bit"]),
-            jnp.int32(boundaries[i]),
-            jnp.asarray(sel),
-            jnp.int32(n_groups),
-            jnp.asarray(limit),
-            jnp.asarray(base),
-            jnp.asarray(perm),
-            jnp.int32(hdr["alpha"] - 1),
-            jnp.asarray(init_list),
-            jnp.int32(hdr["orig_ptr"]),
-            max_groups=gmax,
-            m_sym=m_sym,
-            out_cap=out_cap,
-            n_bits_cap=_pow2_at_least(n_bits, 1 << 12),
-        )
-        if not bool(ok):
-            return None
-        n_bwt = int(n_bwt)
-        # Fetch the walked bytes (pow2-quantized slice width: one transfer
-        # program per octave, see runtime/compressor.py).
-        width = _pow2_at_least(n_bwt, 1 << 10)
-        walked = np.asarray(jax.device_get(decoded[:width]))[:n_bwt]
-        data, crc = native.inverse_rle1(walked.tobytes())
-        if verify_crc and crc != hdr["crc"]:
-            raise Bz2CrcError(f"block CRC mismatch: {hdr['crc']:#x} != {crc:#x}")
-        s_crc = stream_crc_fold(s_crc, hdr["crc"])
+        n_groups = hdr["selectors"].size
+        gmax = _pow2_at_least(n_groups)
+        hdr["gmax"] = gmax
+        hdr["m_sym"] = -(-gmax * C.HUFFMAN_GROUP_SIZE // 128) * 128
+        hdr["nbc"] = _pow2_at_least(n_bits, 1 << 12)
+        hdr["end_bit"] = boundaries[i]
+        parsed.append(hdr)
+
+    buckets: dict[tuple, list[int]] = {}
+    for i, p in enumerate(parsed):
+        buckets.setdefault((p["gmax"], p["m_sym"], p["nbc"]), []).append(i)
+
+    results: list[bytes | None] = [None] * len(parsed)
+    for (gmax, m_sym, nbc), idxs in buckets.items():
+        for base_i in range(0, len(idxs), 8):
+            group = idxs[base_i : base_i + 8]
+            b = _pow2_at_least(len(group), 1)
+            rows = group + [group[0]] * (b - len(group))  # pad w/ repeats
+            sel = np.zeros((b, gmax), np.int32)
+            lim = np.zeros((b, 6, 21), np.int32)
+            bas = np.zeros((b, 6, 21), np.int32)
+            prm = np.zeros((b, 6, C.HUFFMAN_MAX_ALPHABET), np.int32)
+            il = np.zeros((b, 256), np.int32)
+            sb = np.zeros(b, np.int32)
+            eb = np.zeros(b, np.int32)
+            ng = np.zeros(b, np.int32)
+            eo = np.zeros(b, np.int32)
+            op = np.zeros(b, np.int32)
+            for r, bi in enumerate(rows):
+                p = parsed[bi]
+                sel[r, : p["selectors"].size] = p["selectors"]
+                limit, base_a, perm = decode_tables_arrays(p["tables"])
+                lim[r, : limit.shape[0]] = limit
+                lim[r, limit.shape[0] :] = -1  # unused tables never match
+                bas[r, : base_a.shape[0]] = base_a
+                prm[r, : perm.shape[0]] = perm
+                il[r, : p["used_bytes"].size] = p["used_bytes"]
+                sb[r] = p["data_start_bit"]
+                eb[r] = p["end_bit"]
+                ng[r] = p["selectors"].size
+                eo[r] = p["alpha"] - 1
+                op[r] = p["orig_ptr"]
+            decoded, n_bwts, oks = _decode_blocks_jit(
+                stream_dev,
+                jnp.asarray(sb), jnp.asarray(eb), jnp.asarray(sel),
+                jnp.asarray(ng), jnp.asarray(lim), jnp.asarray(bas),
+                jnp.asarray(prm), jnp.asarray(eo), jnp.asarray(il),
+                jnp.asarray(op),
+                max_groups=gmax, m_sym=m_sym, out_cap=out_cap, n_bits_cap=nbc,
+            )
+            n_bwts = np.asarray(n_bwts)
+            if not all(bool(o) for o in np.asarray(oks)[: len(group)]):
+                return None
+            # ONE sliced fetch for the whole bucket batch.
+            width = _pow2_at_least(int(n_bwts[: len(group)].max()), 1 << 10)
+            width = min(width, out_cap)
+            walked = np.asarray(jax.device_get(decoded[:, :width]))
+            for r, bi in enumerate(group):
+                results[bi] = walked[r, : int(n_bwts[r])].tobytes()
+
+    pieces = []
+    s_crc = 0
+    for i, p in enumerate(parsed):
+        data, crc = native.inverse_rle1(results[i])
+        if verify_crc and crc != p["crc"]:
+            raise Bz2CrcError(f"block CRC mismatch: {p['crc']:#x} != {crc:#x}")
+        s_crc = stream_crc_fold(s_crc, p["crc"])
         pieces.append(data)
     # Stream CRC sits 48 bits past the final end marker.
     pos = ends[-1] + 48
