@@ -250,6 +250,44 @@ def pack_block(
     return pack_elements(vals, lens, ok, W)
 
 
+@jax.jit
+def concat_block_words(words: jnp.ndarray, bits: jnp.ndarray):
+    """Concatenate a batch's block bitstreams at bit granularity on device.
+
+    The reference stitches per-block bool buffers serially on the host
+    with a sub-byte carry (include/OutputStream.hpp:225-239); here the
+    batch's packed words land in one output buffer via bit-offset prefix
+    sums + two scatter-adds (block b's word j splits into
+    out[base_b + j] >> s and out[base_b + j + 1] << (32-s)); bits past
+    each block's length are zero by construction, so contributions from
+    adjacent blocks never collide.
+
+    Args:
+      words: (B, W) uint32 per-block packed streams (zero past bits[b]).
+      bits: (B,) int32 valid bit counts.
+
+    Returns (out_words (B*W + 1,) uint32, total_bits).
+    """
+    b, w = words.shape
+    w_out = b * w + 1
+    offs = jnp.cumsum(bits) - bits  # exclusive
+    total_bits = jnp.sum(bits)
+    shift = (offs & 31).astype(jnp.uint32)  # (B,)
+    word0 = (offs >> 5).astype(jnp.int32)
+    hi = words >> shift[:, None]
+    lo = jnp.where(
+        (shift > 0)[:, None], words << (jnp.uint32(32) - shift)[:, None], jnp.uint32(0)
+    )
+    j = jnp.arange(w, dtype=jnp.int32)[None, :]
+    nw = (bits + 31) >> 5  # words actually used per block
+    live = j < nw[:, None]
+    idx = word0[:, None] + j
+    out = jnp.zeros(w_out, jnp.uint32)
+    out = out.at[jnp.where(live, idx, w_out)].add(hi, mode="drop")
+    out = out.at[jnp.where(live, idx + 1, w_out)].add(lo, mode="drop")
+    return out, total_bits
+
+
 def words_to_bytes(words, total_bits: int) -> bytes:
     """Big-endian byte view of packed words, trimmed to ceil(bits/8)."""
     import numpy as np

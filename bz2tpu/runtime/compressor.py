@@ -85,6 +85,8 @@ def _block_header_bits(
     return np.frombuffer(w.getvalue(), dtype=np.uint8), w.bit_length
 
 
+_DEVICE_STITCH = __import__("os").environ.get("BZ2TPU_DEVICE_STITCH", "0") == "1"
+
 _SLICE_GRANULE = 1 << 14  # words; bounds distinct compiled slice shapes
 
 
@@ -252,6 +254,50 @@ def compress_device_intake(
     return packed.tobytes()
 
 
+def _encode_batches_concat(blocks: list[Rle1Block], capacity: int, batch: int):
+    """Like _encode_batches but the batch's block bitstreams concatenate ON
+    DEVICE (ops/emit.concat_block_words): yields per-BATCH
+    (bytes_be, nbits) — one scalar fetch + one sliced words fetch per
+    batch, zero host bit work (opt-in: BZ2TPU_DEVICE_STITCH=1)."""
+    import jax.numpy as jnp
+
+    from bz2tpu.ops.emit import concat_block_words
+    from bz2tpu.ops.pipeline import encode_blocks_staged
+    from bz2tpu.utils.jaxenv import setup_compilation_cache
+
+    setup_compilation_cache()
+    n_blocks = len(blocks)
+    for base in range(0, n_blocks, batch):
+        chunk = blocks[base : base + batch]
+        buf = np.zeros((batch, capacity), dtype=np.uint8)
+        ns = np.ones(batch, dtype=np.int32)
+        crcs = np.zeros(batch, dtype=np.uint32)
+        for i, blk in enumerate(chunk):
+            buf[i, : blk.data.size] = blk.data
+            ns[i] = blk.data.size
+            crcs[i] = blk.crc
+        out = encode_blocks_staged(jnp.asarray(buf), jnp.asarray(ns), jnp.asarray(crcs))
+        bits = out["meta"][:, 5]
+        # Padding rows must contribute 0 bits to the concatenation.
+        live = jnp.arange(batch) < len(chunk)
+        cat, total = concat_block_words(out["words"], jnp.where(live, bits, 0))
+        total = int(total)
+        nw = (total + 31) // 32
+        padded = _SLICE_GRANULE
+        while padded < nw:
+            padded *= 2
+        padded = min(padded, cat.shape[0])
+        row = np.asarray(_word_slicer_1d(padded)(cat))[:nw]
+        yield row.astype(">u4").view(np.uint8), total
+
+
+@functools.lru_cache(maxsize=None)
+def _word_slicer_1d(nwords: int):
+    import jax
+
+    return jax.jit(lambda w: jax.lax.dynamic_slice_in_dim(w, 0, nwords, axis=0))
+
+
 def compress(
     data: bytes | np.ndarray,
     level: int = C.DEFAULT_LEVEL,
@@ -275,9 +321,13 @@ def compress(
     head.write_bits(8, ord("0") + level)
     parts.append((np.frombuffer(head.getvalue(), dtype=np.uint8), head.bit_length))
 
-    for out in _encode_batches(blocks, capacity, batch):
-        # The device words ARE the complete block (header + symbol data).
-        parts.append((out["words"].astype(">u4").view(np.uint8), int(out["total_bits"])))
+    if _DEVICE_STITCH:
+        for row, nbits in _encode_batches_concat(blocks, capacity, batch):
+            parts.append((row, nbits))
+    else:
+        for out in _encode_batches(blocks, capacity, batch):
+            # The device words ARE the complete block (header + symbol data).
+            parts.append((out["words"].astype(">u4").view(np.uint8), int(out["total_bits"])))
 
     tail = BitWriter()
     tail.write_bits(48, C.STREAM_END_MARKER)

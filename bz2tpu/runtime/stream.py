@@ -226,17 +226,27 @@ class StreamCompressor:
             blocks = blocks[:-1]
         raw_consumed = sum(b.raw_length for b in blocks)
         self._pending = self._pending[raw_consumed:] if not final else b""
-        batches = _encode_batches(blocks, self._capacity, self._batch)
-        for blk in blocks:
-            with self._stage("device_encode"):
-                out = next(batches)
-            with self._stage("stitch"):
-                # Device words are the complete block bitstream.
-                self._stitcher.append(
-                    out["words"].astype(">u4").view(np.uint8), int(out["total_bits"])
-                )
-            self._s_crc = stream_crc_fold(self._s_crc, blk.crc)
-            self.n_blocks += 1
+        from bz2tpu.runtime.compressor import _DEVICE_STITCH, _encode_batches_concat
+
+        if _DEVICE_STITCH:
+            for row, nbits in _encode_batches_concat(blocks, self._capacity, self._batch):
+                with self._stage("stitch"):
+                    self._stitcher.append(row, nbits)
+            for blk in blocks:
+                self._s_crc = stream_crc_fold(self._s_crc, blk.crc)
+                self.n_blocks += 1
+        else:
+            batches = _encode_batches(blocks, self._capacity, self._batch)
+            for blk in blocks:
+                with self._stage("device_encode"):
+                    out = next(batches)
+                with self._stage("stitch"):
+                    # Device words are the complete block bitstream.
+                    self._stitcher.append(
+                        out["words"].astype(">u4").view(np.uint8), int(out["total_bits"])
+                    )
+                self._s_crc = stream_crc_fold(self._s_crc, blk.crc)
+                self.n_blocks += 1
         self._n_batches += (len(blocks) + self._batch - 1) // self._batch
         return raw_consumed
 

@@ -61,3 +61,21 @@ def test_compress_stream_empty():
     sink = io.BytesIO()
     compress_stream(io.BytesIO(b""), sink, level=9)
     assert stdlib_bz2.decompress(sink.getvalue()) == b""
+
+
+def test_device_stitch_mode_bit_identical(rng, monkeypatch):
+    # BZ2TPU_DEVICE_STITCH concatenates each batch's blocks on device;
+    # the resulting stream must be byte-identical to the host stitch.
+    import io
+
+    import bz2tpu.runtime.compressor as rc
+    from bz2tpu.runtime.stream import compress_stream
+
+    data = make_corpus(rng, "text", 500_000)
+    want = io.BytesIO()
+    compress_stream(io.BytesIO(data), want, level=1, chunk_blocks=2, parallel=2)
+    monkeypatch.setattr(rc, "_DEVICE_STITCH", True)
+    got = io.BytesIO()
+    compress_stream(io.BytesIO(data), got, level=1, chunk_blocks=2, parallel=2)
+    assert got.getvalue() == want.getvalue()
+    assert rc.compress(data, level=1, parallel=2) == want.getvalue()
