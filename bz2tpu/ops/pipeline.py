@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from bz2tpu.ops.bwt import bwt_encode
-from bz2tpu.ops.emit import pack_block, pack_symbol_data
+from bz2tpu.ops.emit import pack_block
 from bz2tpu.ops.huffman import huffman_assign, max_selectors
 from bz2tpu.ops.mtf import mtf_rle2_encode
 

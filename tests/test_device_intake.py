@@ -8,7 +8,6 @@ import pytest
 
 import jax.numpy as jnp
 
-from bz2tpu.format import constants as C
 from bz2tpu.ops.intake import chunk_capacity, device_intake
 from bz2tpu.oracle.encoder import rle1_split
 from bz2tpu.runtime.compressor import compress, compress_device_intake
