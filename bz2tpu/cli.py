@@ -51,7 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--backend", choices=["tpu", "oracle", "device"], default="tpu",
         help="tpu: JAX compress + native host decode; oracle: pure NumPy; "
-        "device: TPU decode pipeline (Huffman+MTF+IBWT on device)",
+        "device: EVERYTHING on the TPU (compress: RLE1/split/CRC intake "
+        "on device; decompress: Huffman+MTF+IBWT on device)",
     )
     p.add_argument("-o", "--output", help="output path (default: input+.bz2 / strip .bz2)")
     p.add_argument("-v", "--verbose", action="store_true")
@@ -159,7 +160,21 @@ def main(argv: list[str] | None = None) -> int:
         else:
             metrics.op = "compress"
             out_path = args.output or (args.file + ".bz2")
-            if args.backend == "oracle":
+            if args.backend == "device":
+                # Fully-device pipeline: RLE1 + split + CRC + encode on TPU.
+                from bz2tpu.runtime.compressor import compress_device_intake
+
+                data = _read_input(args, use_stdio)
+                result = compress_device_intake(
+                    data, level=args.size, parallel=args.parallel or None
+                )
+                metrics.input_bytes, metrics.output_bytes = len(data), len(result)
+                if use_stdio:
+                    sys.stdout.buffer.write(result)
+                else:
+                    with open(out_path, "wb") as f:
+                        f.write(result)
+            elif args.backend == "oracle":
                 from bz2tpu.oracle import compress
 
                 data = _read_input(args, use_stdio)

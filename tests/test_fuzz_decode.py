@@ -262,3 +262,28 @@ def test_selector_count_cap(name, dec):
     w.pad_to_byte()
     with pytest.raises(ValueError, match="selector"):
         dec(w.getvalue())
+
+
+def test_device_decode_bitflip_fuzz():
+    # The device decoder must behave like the host on corrupted streams:
+    # raise, or fall back and produce the host's result — never return
+    # silently wrong bytes.
+    from bz2tpu.runtime.device_decode import decompress_device
+
+    rng = np.random.default_rng(131)
+    data = make_corpus(rng, "text", 120_000)
+    comp = stdlib_bz2.compress(bytes(data), 1)
+    for _ in range(25):
+        buf = bytearray(comp)
+        for _ in range(int(rng.integers(1, 4))):
+            buf[int(rng.integers(4, len(buf)))] ^= 1 << int(rng.integers(8))
+        try:
+            want = stdlib_bz2.decompress(bytes(buf))
+        except (OSError, ValueError, EOFError):
+            want = None
+        try:
+            got = decompress_device(bytes(buf))
+        except ValueError:
+            continue  # clean rejection
+        if want is not None:
+            assert got == want
