@@ -267,7 +267,9 @@ def _encode_batches_concat(blocks: list[Rle1Block], capacity: int, batch: int):
 
     setup_compilation_cache()
     n_blocks = len(blocks)
-    for base in range(0, n_blocks, batch):
+    bases = list(range(0, n_blocks, batch))
+
+    def dispatch(base):
         chunk = blocks[base : base + batch]
         buf = np.zeros((batch, capacity), dtype=np.uint8)
         ns = np.ones(batch, dtype=np.int32)
@@ -280,7 +282,14 @@ def _encode_batches_concat(blocks: list[Rle1Block], capacity: int, batch: int):
         bits = out["meta"][:, 5]
         # Padding rows must contribute 0 bits to the concatenation.
         live = jnp.arange(batch) < len(chunk)
-        cat, total = concat_block_words(out["words"], jnp.where(live, bits, 0))
+        return concat_block_words(out["words"], jnp.where(live, bits, 0))
+
+    pending = dispatch(bases[0]) if bases else None
+    for bi in range(len(bases)):
+        cat, total = pending
+        # Launch the next batch before fetching this one (overlap compute
+        # with the device->host transfer, like _encode_batches).
+        pending = dispatch(bases[bi + 1]) if bi + 1 < len(bases) else None
         total = int(total)
         nw = (total + 31) // 32
         padded = _SLICE_GRANULE
