@@ -54,6 +54,10 @@ def _decompress_parallel(stream: bytes, verify_crc: bool) -> bytes | None:
     with ThreadPoolExecutor(max_workers=workers) as pool:
         results = list(pool.map(decode_one, headers))
     if any(r is None for r in results):
+        # NOTE: falling back restarts sequentially from scratch — O(2x) on
+        # adversarial inputs whose data embeds spurious marker bit
+        # patterns; correctness first (a salvage of partial optimistic
+        # output would have to re-verify the chain anyway).
         return None
     # Verify the chain: block i must end exactly at block i+1's marker, and
     # the last block at a scanned end marker.
