@@ -39,3 +39,24 @@ def test_system_integrity_check_passes(rng):
     data = make_corpus(rng, "alternating", 60_000)
     r = _bzip2(["-t"], compress(data, level=1))
     assert r.returncode == 0, r.stderr
+
+
+def test_system_accepts_device_intake_streams(rng):
+    # The fully-device pipeline's output must decode with the real binary.
+    from bz2tpu.runtime.compressor import compress_device_intake
+
+    data = make_corpus(rng, "text", 150_000)
+    out = compress_device_intake(data, level=1, parallel=2)
+    r = _bzip2(["-dc"], out)
+    assert r.returncode == 0 and r.stdout == data
+
+
+def test_device_decode_accepts_system_streams(rng, tmp_path):
+    from bz2tpu.runtime.device_decode import decompress_device
+
+    data = make_corpus(rng, "text", 150_000)
+    p = tmp_path / "x"
+    p.write_bytes(data)
+    r = subprocess.run([BZIP2, "-1", "-c", str(p)], capture_output=True, timeout=120)
+    assert r.returncode == 0
+    assert decompress_device(r.stdout) == data
