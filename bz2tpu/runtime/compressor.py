@@ -85,7 +85,9 @@ def _block_header_bits(
     return np.frombuffer(w.getvalue(), dtype=np.uint8), w.bit_length
 
 
-_DEVICE_STITCH = __import__("os").environ.get("BZ2TPU_DEVICE_STITCH", "0") == "1"
+# Default ON (measured equal-or-better end-to-end and removes all host bit
+# work); BZ2TPU_DEVICE_STITCH=0 restores the per-block host stitch.
+_DEVICE_STITCH = __import__("os").environ.get("BZ2TPU_DEVICE_STITCH", "1") == "1"
 
 _SLICE_GRANULE = 1 << 14  # words; bounds distinct compiled slice shapes
 

@@ -64,14 +64,15 @@ def test_compress_stream_empty():
 
 
 def test_device_stitch_mode_bit_identical(rng, monkeypatch):
-    # BZ2TPU_DEVICE_STITCH concatenates each batch's blocks on device;
-    # the resulting stream must be byte-identical to the host stitch.
+    # The default on-device batch concatenation must be byte-identical to
+    # the per-block host stitch (BZ2TPU_DEVICE_STITCH=0 path).
     import io
 
     import bz2tpu.runtime.compressor as rc
     from bz2tpu.runtime.stream import compress_stream
 
     data = make_corpus(rng, "text", 500_000)
+    monkeypatch.setattr(rc, "_DEVICE_STITCH", False)
     want = io.BytesIO()
     compress_stream(io.BytesIO(data), want, level=1, chunk_blocks=2, parallel=2)
     monkeypatch.setattr(rc, "_DEVICE_STITCH", True)
