@@ -35,8 +35,12 @@ def __getattr__(name):
     """Top-level convenience API, imported lazily (keeps `import bz2tpu`
     free of JAX/device initialization):
 
-        bz2tpu.compress(data, level=9)   -> bytes   (TPU pipeline)
-        bz2tpu.decompress(stream)        -> bytes   (native C / NumPy)
+        bz2tpu.compress(data, level=9)    -> bytes  (TPU pipeline)
+        bz2tpu.decompress(stream)         -> bytes  (native C / NumPy)
+        bz2tpu.compress_device_intake(..) -> bytes  (zero host passes)
+        bz2tpu.decompress_device(stream)  -> bytes  (decode on the TPU)
+        bz2tpu.StreamCompressor           push-style, checkpoint/resume
+        bz2tpu.StreamDecompressor         push-style incremental decode
     """
     if name == "compress":
         from bz2tpu.runtime.compressor import compress
@@ -46,4 +50,20 @@ def __getattr__(name):
         from bz2tpu.runtime.decompressor import decompress
 
         return decompress
+    if name == "compress_device_intake":
+        from bz2tpu.runtime.compressor import compress_device_intake
+
+        return compress_device_intake
+    if name == "decompress_device":
+        from bz2tpu.runtime.device_decode import decompress_device
+
+        return decompress_device
+    if name == "StreamCompressor":
+        from bz2tpu.runtime.stream import StreamCompressor
+
+        return StreamCompressor
+    if name == "StreamDecompressor":
+        from bz2tpu.runtime.decompressor import StreamDecompressor
+
+        return StreamDecompressor
     raise AttributeError(f"module 'bz2tpu' has no attribute {name!r}")
