@@ -82,3 +82,15 @@ def test_level9_capacity_boundary_exact(rng):
     assert stdlib_bz2.decompress(out) == data
     headers, _ = native.scan_blocks(out)
     assert len(headers) == 1
+
+
+def test_level5_pipeline_round_trip(rng):
+    # An intermediate level through the real pipeline (capacity 500k):
+    # levels are not "just padding" — cuts, maxsel, and shapes change.
+    import bz2 as stdlib_bz2
+
+    from bz2tpu.runtime.compressor import compress
+
+    data = make_corpus(rng, "text", 620_000)
+    out = compress(data, level=5, parallel=2)
+    assert stdlib_bz2.decompress(out) == data
