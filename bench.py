@@ -148,11 +148,12 @@ for nd in (1, 2, 4, 8):
     np.asarray(jax.device_get(out["words"]))
     dt = time.time() - t0
     rows[nd] = B * cap / dt / 1e6
-base = rows[1]
+from bz2tpu.utils.metrics import scaling_efficiency
+eff = scaling_efficiency(rows)
 print(json.dumps({
     "mode": "virtual_cpu_mesh_weak_scaling",
     "mb_s": {str(k): round(v, 2) for k, v in rows.items()},
-    "efficiency": {str(k): round(v / (k * base), 3) for k, v in rows.items()},
+    "efficiency": {str(k): round(v, 3) for k, v in eff.items()},
 }))
 """
     env = dict(os.environ)

@@ -75,3 +75,16 @@ class RunMetrics:
 
     def to_json(self) -> str:
         return json.dumps(self.to_dict())
+
+
+def scaling_efficiency(throughputs: dict) -> dict:
+    """Weak-scaling efficiency table: eff(n) = T_n / (n * T_1).
+
+    `throughputs` maps device count -> aggregate throughput. This is the
+    BASELINE scaling metric (>=80% on a real multi-host slice); bench.py
+    emits it for the virtual CPU mesh as plumbing validation.
+    """
+    if 1 not in throughputs or not throughputs[1]:
+        return {}
+    base = throughputs[1]
+    return {n: t / (n * base) for n, t in sorted(throughputs.items())}

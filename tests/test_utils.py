@@ -80,3 +80,10 @@ def test_bench_corpus_deterministic():
 
     assert bench.make_text(10_000, 42) == bench.make_text(10_000, 42)
     assert bench.make_text(10_000, 42) != bench.make_text(10_000, 43)
+
+
+def test_scaling_efficiency():
+    from bz2tpu.utils.metrics import scaling_efficiency
+
+    assert scaling_efficiency({1: 2.0, 2: 3.6, 4: 6.4}) == {1: 1.0, 2: 0.9, 4: 0.8}
+    assert scaling_efficiency({2: 5.0}) == {}
