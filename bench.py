@@ -208,19 +208,25 @@ def main() -> int:
     compress(warm, level=LEVEL, parallel=BATCH)  # compile + warm caches
     warm_s = time.time() - t0
 
-    t0 = time.time()
-    out = compress(data, level=LEVEL, parallel=BATCH)
-    dt = time.time() - t0
-    if stdlib_bz2.decompress(out) != data:
-        print(json.dumps({"metric": "compress_throughput", "value": 0.0,
-                          "unit": "MB/s", "vs_baseline": 0.0,
-                          "error": "round-trip mismatch"}))
-        return 1
+    # Best of two timed runs: the terminal's speed swings ~2x between
+    # moments (PERF.md round 2); both runs are round-trip-verified.
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        out = compress(data, level=LEVEL, parallel=BATCH)
+        dt = min(dt, time.time() - t0)
+        if stdlib_bz2.decompress(out) != data:
+            print(json.dumps({"metric": "compress_throughput", "value": 0.0,
+                              "unit": "MB/s", "vs_baseline": 0.0,
+                              "error": "round-trip mismatch"}))
+            return 1
     ours = nbytes / dt / 1e6
 
-    t0 = time.time()
-    stock = stdlib_bz2.compress(data, LEVEL)
-    stock_dt = time.time() - t0
+    stock_dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        stock = stdlib_bz2.compress(data, LEVEL)
+        stock_dt = min(stock_dt, time.time() - t0)
     stock_mbps = nbytes / stock_dt / 1e6
 
     from bz2tpu.runtime.decompressor import decompress as our_decompress
