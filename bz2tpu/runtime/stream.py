@@ -141,7 +141,10 @@ class StreamCompressor:
         """Serialize the resume state (call after flushing the sink).
 
         ``sink_bytes`` records how many bytes this stream has emitted; on
-        resume the caller must position/truncate the sink there.
+        resume the caller must position/truncate the sink there. The blob
+        carries the not-yet-encoded raw tail, so its size is bounded by
+        the chunk threshold (~capacity x chunk_blocks bytes right before
+        an encode round, a few bytes right after one).
         """
         import base64
         import json
