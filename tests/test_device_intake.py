@@ -61,3 +61,20 @@ def test_compress_device_intake_byte_identical_within_chunk():
 def test_compress_device_intake_empty():
     out = compress_device_intake(b"", level=1)
     assert stdlib_bz2.decompress(out) == b""
+
+
+def test_device_intake_level9_slow():
+    # Full-scale level-9 intake: a 900k-capacity block cut + CRC on device.
+    import pytest
+
+    rng = np.random.default_rng(114)
+    data = np.frombuffer(make_corpus(rng, "text", 1_100_000), np.uint8)
+    N = chunk_capacity(9, 2)
+    padded = np.zeros(N, np.uint8)
+    padded[: data.size] = data
+    res = device_intake(jnp.asarray(padded), jnp.int32(data.size), level=9, max_blocks=2)
+    blocks = rle1_split(data, 9)
+    assert int(res["n_blocks"]) == len(blocks) == 2
+    for i, blk in enumerate(blocks):
+        assert int(np.asarray(res["ns"])[i]) == blk.data.size
+        assert int(np.asarray(res["crcs"])[i]) == blk.crc
