@@ -90,7 +90,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.prime:
         from bz2tpu.utils.jaxenv import prime
 
-        prime(levels=(args.size,), batch=args.parallel or None, verbose=args.verbose or True)
+        # Priming compiles for minutes; progress output is always on.
+        prime(levels=(args.size,), batch=args.parallel or None, verbose=True)
         return 0
 
     use_stdio = args.file == "-"

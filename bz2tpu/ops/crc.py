@@ -37,7 +37,6 @@ from bz2tpu.format.crc32 import (
 )
 
 _MASK32 = np.uint32(0xFFFFFFFF)
-_MAX_LOG = 25  # operator ladders cover ranges up to 2^25 bytes (32 MB)
 
 
 def _op_inverse(op: np.ndarray) -> np.ndarray:
@@ -62,14 +61,17 @@ def _op_inverse(op: np.ndarray) -> np.ndarray:
 
 
 @functools.cache
-def _ladder_tables() -> tuple[np.ndarray, np.ndarray]:
-    """(fwd, inv): (MAX_LOG, 32) uint32 operator tables, fwd[k] advancing a
-    CRC state past 2^k zero bytes and inv[k] undoing it."""
-    fwd = np.empty((_MAX_LOG, 32), dtype=np.uint32)
+def _ladder_tables(max_log: int) -> tuple[np.ndarray, np.ndarray]:
+    """(fwd, inv): (max_log, 32) uint32 operator tables, fwd[k] advancing a
+    CRC state past 2^k zero bytes and inv[k] undoing it. ``max_log`` is
+    derived from the (static) chunk size so every reachable exponent is
+    covered — a ladder shorter than log2(n) would silently drop high
+    exponent bits and emit wrong CRCs."""
+    fwd = np.empty((max_log, 32), dtype=np.uint32)
     m = _op_shift_one_byte()
     mi = _op_inverse(m)
-    inv = np.empty((_MAX_LOG, 32), dtype=np.uint32)
-    for k in range(_MAX_LOG):
+    inv = np.empty((max_log, 32), dtype=np.uint32)
+    for k in range(max_log):
         fwd[k] = m
         inv[k] = mi
         m = _op_compose(m, m)
@@ -154,7 +156,10 @@ def crc32_ranges(
         states = _apply_op(fold[r], a_st) ^ b_st
     raw_masked = states[:, 0]  # raw0 state of 0^start || x || 0^(N-end)
 
-    fwd, inv = (jnp.asarray(t) for t in _ladder_tables())
+    # Exponents passed to the ladders are at most n (a static shape), so a
+    # ladder of ceil(log2(n + 1)) rungs covers every reachable value.
+    max_log = max(1, int(np.ceil(np.log2(n + 1))))
+    fwd, inv = (jnp.asarray(t) for t in _ladder_tables(max_log))
     # Undo the trailing zero padding, then add the init-state contribution.
     raw_x = _apply_ladder(inv, (jnp.int32(n) - ends.astype(jnp.int32)), raw_masked)
     init_part = _apply_ladder(

@@ -182,6 +182,8 @@ def pack_elements(vals, lens, valid, W: int):
     element of len <= 32 at bit position bitpos in its first word either
     fits (shift left by 32-bitpos-len) or spills len+bitpos-32 <= 31 bits
     into the next word. Values must be < 2^len (0 for 0-bit slots).
+    ``valid`` is required; invalid elements are dropped (never clipped into
+    range, which would corrupt the last word).
     """
     ends = jnp.cumsum(lens)
     offsets = ends - lens
@@ -197,14 +199,10 @@ def pack_elements(vals, lens, valid, W: int):
     )
     w0 = offsets >> 5
 
-    mask = valid.astype(bool) if valid is not None else None
+    mask = valid.astype(bool)
     out = jnp.zeros(W, jnp.uint32)
-    if mask is None:
-        out = out.at[jnp.clip(w0, 0, W - 1)].add(hi, mode="drop")
-        out = out.at[jnp.clip(w0 + 1, 0, W)].add(lo, mode="drop")
-    else:
-        out = out.at[jnp.where(mask, w0, W)].add(hi, mode="drop")
-        out = out.at[jnp.where(mask, w0 + 1, W)].add(lo, mode="drop")
+    out = out.at[jnp.where(mask, w0, W)].add(hi, mode="drop")
+    out = out.at[jnp.where(mask, w0 + 1, W)].add(lo, mode="drop")
     return out, total_bits
 
 

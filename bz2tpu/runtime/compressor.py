@@ -222,11 +222,14 @@ def compress_device_intake(
     s_crc = 0
     offset = 0
     crc_list: list[int] = []
-    while offset < arr.size or (offset == 0 and arr.size == 0):
-        if arr.size == 0:
-            break
-        take = min(chunk_n, arr.size - offset)
-        padded = np.zeros(chunk_n, np.uint8)
+    # Highly compressible input can RLE1 a whole chunk into a single
+    # under-full block; rather than emit undersized blocks (ratio loss),
+    # escalate the chunk window (each pow2 size is one cached compile).
+    cur_chunk_n = chunk_n
+    max_chunk_n = chunk_n * 8
+    while offset < arr.size:
+        take = min(cur_chunk_n, arr.size - offset)
+        padded = np.zeros(cur_chunk_n, np.uint8)
         padded[:take] = arr[offset : offset + take]
         res = device_intake(
             jnp.asarray(padded), jnp.int32(take), level=level, max_blocks=batch
@@ -235,7 +238,11 @@ def compress_device_intake(
         raw_lens = np.asarray(res["raw_lens"])
         ns_host = np.asarray(res["ns"])
         more = offset + take < arr.size
-        if more and nb > 1 and ns_host[nb - 1] < capacity - C.RLE1_MIN_RUN - 1:
+        under_full = ns_host[nb - 1] < capacity - C.RLE1_MIN_RUN - 1
+        if more and nb == 1 and under_full and cur_chunk_n < max_chunk_n:
+            cur_chunk_n *= 2  # widen the window until the block fills
+            continue
+        if more and nb > 1 and under_full:
             nb -= 1  # hold back the partial trailing block for the next chunk
         out = encode_blocks_staged(res["blocks"], res["ns"], res["crcs"])
         meta = np.asarray(out["meta"])
