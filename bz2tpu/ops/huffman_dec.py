@@ -44,7 +44,9 @@ from bz2tpu.format import constants as C
 _KMAX = C.HUFFMAN_DECODE_MAX_ACCEPTED_LENGTH  # 20: codes longer are invalid
 
 
-def decode_tables_arrays(tables: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def decode_tables_arrays(
+    tables: list,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Pack oracle (limit, base, perm, min_len) tuples into device arrays.
 
     Bit counts below min_len get limit -1 so no candidate value (all >= 0)
@@ -52,6 +54,14 @@ def decode_tables_arrays(tables: list) -> tuple[np.ndarray, np.ndarray, np.ndarr
     (above any 23-bit window value) so malformed streams still resolve to
     SOME length — the resulting symbol is garbage, which the exact end-bit
     validation and the downstream CRC reject.
+
+    Also returns ``thr``: the 23-bit LEFT-JUSTIFIED acceptance thresholds
+    thr[t, k] = min((limit[t,k]+1) << (23-k), 2^23). A window value v23
+    decodes with length k iff v23 >> (23-k) <= limit[t,k] iff
+    v23 < thr[t,k]; canonical construction makes thr nondecreasing in k
+    (enforced here with a running max for robustness on junk tables), so
+    the code length is ONE searchsorted over 21 thresholds instead of 20
+    masked compare passes — the device decode's dominant elementwise cost.
     """
     n = len(tables)
     limit = np.full((6, _KMAX + 1), -1, dtype=np.int64)
@@ -64,7 +74,15 @@ def decode_tables_arrays(tables: list) -> tuple[np.ndarray, np.ndarray, np.ndarr
             if k < bas.size:
                 base[t, k] = int(bas[k])
         perm[t, : prm.size] = prm
-    return limit[:n].astype(np.int32), base[:n].astype(np.int32), perm[:n]
+    ks = np.arange(_KMAX + 1)
+    thr = np.minimum((limit + 1) << (23 - ks)[None, :], 1 << 23)
+    thr = np.maximum.accumulate(thr, axis=1)
+    return (
+        limit[:n].astype(np.int32),
+        base[:n].astype(np.int32),
+        perm[:n],
+        thr[:n].astype(np.int32),
+    )
 
 
 def _window23(stream: jnp.ndarray, bitpos: jnp.ndarray) -> jnp.ndarray:
@@ -89,6 +107,7 @@ def decode_symbol_data(
     base: jnp.ndarray,
     perm: jnp.ndarray,
     eob: jnp.ndarray,
+    thr: jnp.ndarray,
     *,
     max_groups: int,
     n_bits_cap: int,
@@ -105,6 +124,8 @@ def decode_symbol_data(
       limit/base/perm: (T, 21) / (T, 21) / (T, 258) int32 canonical tables
         (see decode_tables_arrays).
       eob: scalar int32 end-of-block symbol value (alpha_size - 1).
+      thr: (T, 21) int32 nondecreasing left-justified thresholds
+        (decode_tables_arrays): code length at v23 = searchsorted-right.
       max_groups/n_bits_cap: static (quantized) shape bounds.
 
     Returns dict with symbols (max_groups*50,) int32 (-1 past n_sym),
@@ -120,12 +141,11 @@ def decode_symbol_data(
     v23 = _window23(stream, start_bit + p_rel)  # (n_bits_cap,)
 
     def lens_for_table(t):
-        l = jnp.zeros(n_bits_cap, jnp.int32)
-        for k in range(1, _KMAX + 1):  # static unroll: 20 compares
-            v_k = v23 >> (23 - k)
-            hit = (l == 0) & (v_k <= limit[t, k])
-            l = jnp.where(hit, k, l)
-        return jnp.maximum(l, 1)  # unresolvable positions advance 1 bit
+        # Length = first k with v23 < thr[t, k]: one binary search over 21
+        # monotone thresholds (~5 passes) instead of 20 masked compares.
+        l = jnp.searchsorted(thr[t], v23, side="right").astype(jnp.int32)
+        # No threshold above v23 (malformed): advance 1 bit, as before.
+        return jnp.where(l > _KMAX, 1, jnp.maximum(l, 1))
 
     # --- 2. per-table 50-symbol jumps via pointer doubling ---------------
     def jump50_for_table(t):
@@ -152,26 +172,24 @@ def decode_symbol_data(
     starts = start_bit + starts_rel
 
     # --- 4. vectorized symbol extraction at known starts -----------------
-    lim_g = limit[tbl]
+    thr_g = thr[tbl]
     base_g = base[tbl]
     perm_g = perm[tbl]
-    ks = jnp.arange(_KMAX + 1, dtype=jnp.int32)
+    vsearch = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))
 
     def step(i, carry):
         offs, syms, lens = carry
         v = _window23(stream, offs)  # (G,)
-        v_ks = v[:, None] >> (23 - ks)[None, :]
-        cond = v_ks <= lim_g
-        l = jnp.argmax(cond, axis=1).astype(jnp.int32)
-        matched = jnp.any(cond, axis=1)
-        code = jnp.take_along_axis(v_ks, l[:, None], axis=1)[:, 0]
+        l = vsearch(thr_g, v).astype(jnp.int32)
+        matched = l <= _KMAX
+        l = jnp.where(matched, jnp.maximum(l, 1), 1)
+        code = v >> (23 - l)
         pidx = code - jnp.take_along_axis(base_g, l[:, None], axis=1)[:, 0]
         bad = (~matched) | (pidx < 0) | (pidx >= C.HUFFMAN_MAX_ALPHABET)
         sym = jnp.take_along_axis(
             perm_g, jnp.clip(pidx, 0, C.HUFFMAN_MAX_ALPHABET - 1)[:, None], axis=1
         )[:, 0]
         sym = jnp.where(bad, -2, sym)
-        l = jnp.where(matched, l, 1)
         syms = syms.at[:, i].set(sym)
         lens = lens.at[:, i].set(l)
         return offs + l, syms, lens

@@ -91,6 +91,8 @@ def mtf_rle2_decode(
     ].set(sym - 1, mode="drop")  # padding j=0 is the identity rotation
 
     # --- inverse MTF: chunked permutation scan over the literal sequence ---
+    # Permutation entries are list indices 0..255, so the whole scan runs
+    # in uint8 — 4x less traffic than int32 on the decode's widest arrays.
     n_chunks = m // _CHUNK
     jc = js.reshape(n_chunks, _CHUNK)
     k256 = jnp.arange(256, dtype=jnp.int32)
@@ -104,8 +106,10 @@ def mtf_rle2_decode(
         q = jnp.where(k256[None, :] == 0, e[:, None], jnp.where(k256[None, :] <= j, q_shift, q))
         return q, emit
 
-    q0 = jnp.broadcast_to(k256[None, :], (n_chunks, 256)).astype(jnp.int32)
-    qs, emit_local = jax.lax.fori_loop(0, _CHUNK, chunk_step, (q0, jnp.zeros((n_chunks, _CHUNK), jnp.int32)))
+    q0 = jnp.broadcast_to(k256[None, :], (n_chunks, 256)).astype(jnp.uint8)
+    qs, emit_local = jax.lax.fori_loop(
+        0, _CHUNK, chunk_step, (q0, jnp.zeros((n_chunks, _CHUNK), jnp.uint8))
+    )
 
     def compose(a, b):  # apply a first, then b: combined[k] = a[b[k]]
         return jnp.take_along_axis(a, b, axis=-1)

@@ -79,11 +79,11 @@ def _parse_block_header(stream: bytes, bit_off: int) -> dict:
 
 def _decode_block_core(
     stream, start_bit, end_bit, selectors, n_groups, limit, base, perm,
-    eob, init_list, orig_ptr, *, max_groups, m_sym, out_cap, n_bits_cap,
+    eob, thr, init_list, orig_ptr, *, max_groups, m_sym, out_cap, n_bits_cap,
 ):
     hd = decode_symbol_data(
         stream, start_bit, end_bit, selectors, n_groups, limit, base, perm,
-        eob, max_groups=max_groups, n_bits_cap=n_bits_cap,
+        eob, thr, max_groups=max_groups, n_bits_cap=n_bits_cap,
     )
     syms = jnp.full((m_sym,), -1, jnp.int32).at[: max_groups * C.HUFFMAN_GROUP_SIZE].set(
         hd["symbols"]
@@ -107,6 +107,7 @@ def _decode_blocks_jit(
     bases,
     perms,
     eobs,
+    thrs,
     init_lists,
     orig_ptrs,
     *,
@@ -118,16 +119,16 @@ def _decode_blocks_jit(
     """Batched block decode: vmap of the chain over same-shape blocks
     (stream broadcast; all per-block inputs stacked on axis 0)."""
 
-    def one(sb, eb, sl, ng, li, ba, pe, eo, il, op):
+    def one(sb, eb, sl, ng, li, ba, pe, eo, th, il, op):
         return _decode_block_core(
-            stream, sb, eb, sl, ng, li, ba, pe, eo, il, op,
+            stream, sb, eb, sl, ng, li, ba, pe, eo, th, il, op,
             max_groups=max_groups, m_sym=m_sym, out_cap=out_cap,
             n_bits_cap=n_bits_cap,
         )
 
     return jax.vmap(one)(
         start_bits, end_bits, selectors, n_groups, limits, bases, perms,
-        eobs, init_lists, orig_ptrs,
+        eobs, thrs, init_lists, orig_ptrs,
     )
 
 
@@ -204,6 +205,7 @@ def _decompress_device_inner(stream: bytes, verify_crc: bool) -> bytes | None:
             lim = np.zeros((b, 6, 21), np.int32)
             bas = np.zeros((b, 6, 21), np.int32)
             prm = np.zeros((b, 6, C.HUFFMAN_MAX_ALPHABET), np.int32)
+            thr_b = np.zeros((b, 6, 21), np.int32)
             il = np.zeros((b, 256), np.int32)
             sb = np.zeros(b, np.int32)
             eb = np.zeros(b, np.int32)
@@ -213,11 +215,12 @@ def _decompress_device_inner(stream: bytes, verify_crc: bool) -> bytes | None:
             for r, bi in enumerate(rows):
                 p = parsed[bi]
                 sel[r, : p["selectors"].size] = p["selectors"]
-                limit, base_a, perm = decode_tables_arrays(p["tables"])
+                limit, base_a, perm, thr_a = decode_tables_arrays(p["tables"])
                 lim[r, : limit.shape[0]] = limit
                 lim[r, limit.shape[0] :] = -1  # unused tables never match
                 bas[r, : base_a.shape[0]] = base_a
                 prm[r, : perm.shape[0]] = perm
+                thr_b[r, : thr_a.shape[0]] = thr_a  # unused rows stay 0
                 il[r, : p["used_bytes"].size] = p["used_bytes"]
                 sb[r] = p["data_start_bit"]
                 eb[r] = p["end_bit"]
@@ -228,8 +231,8 @@ def _decompress_device_inner(stream: bytes, verify_crc: bool) -> bytes | None:
                 stream_dev,
                 jnp.asarray(sb), jnp.asarray(eb), jnp.asarray(sel),
                 jnp.asarray(ng), jnp.asarray(lim), jnp.asarray(bas),
-                jnp.asarray(prm), jnp.asarray(eo), jnp.asarray(il),
-                jnp.asarray(op),
+                jnp.asarray(prm), jnp.asarray(eo), jnp.asarray(thr_b),
+                jnp.asarray(il), jnp.asarray(op),
                 max_groups=gmax, m_sym=m_sym, out_cap=out_cap, n_bits_cap=nbc,
             )
             n_bwts = np.asarray(n_bwts)

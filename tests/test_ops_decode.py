@@ -128,7 +128,7 @@ def test_huffman_dec_matches_serial(kind, level):
     gmax = 1 << max(4, (n_groups - 1).bit_length())
     sel = np.zeros(gmax, np.int32)
     sel[:n_groups] = hdr["selectors"]
-    limit, base, perm = decode_tables_arrays(hdr["tables"])
+    limit, base, perm, thr = decode_tables_arrays(hdr["tables"])
     n_bits = end_bit - hdr["data_start_bit"]
     cap = 1 << max(12, (n_bits - 1).bit_length())
     res = decode_symbol_data(
@@ -141,6 +141,7 @@ def test_huffman_dec_matches_serial(kind, level):
         jnp.asarray(base),
         jnp.asarray(perm),
         jnp.int32(hdr["alpha"] - 1),
+        jnp.asarray(thr),
         max_groups=gmax,
         n_bits_cap=cap,
     )
