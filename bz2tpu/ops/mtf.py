@@ -62,15 +62,24 @@ def _mtf_ranks_collapsed(seq: jnp.ndarray, m: jnp.ndarray, n_in_use: jnp.ndarray
     ranks0 = jnp.zeros((n_chunks, chunk), jnp.int32)
 
     def chunk_body(c, carry, ranks):
+        # Rank of position i = #{lanes u: last-occurrence(u) before i >
+        # last-occurrence(s_i) before i}. With the carry folded into row 0,
+        # the INCLUSIVE cummax row i-1 is exactly "last occurrence before
+        # i" for every lane — including lane s_i itself (s_{i-1} != s_i in
+        # the collapsed domain), so the self lane never overcounts and no
+        # exclusive shift or extra maximum pass is needed.
         seq_c = chunks[c]
         times = c * chunk + t_local
         onehot_t = jnp.where(seq_c[:, None] == lanes[None, :], times[:, None], _NEG)
-        incl = lax.cummax(onehot_t, axis=0)
-        excl = jnp.concatenate([jnp.full((1, 256), _NEG, jnp.int32), incl[:-1]], axis=0)
-        last = jnp.maximum(carry[None, :], excl)
+        arr = onehot_t.at[0].max(carry)
+        incl = lax.cummax(arr, axis=0)
         self_idx = jnp.clip(seq_c, 0, 255)
-        last_self = jnp.take_along_axis(last, self_idx[:, None], axis=1)
-        r = jnp.sum((last > last_self).astype(jnp.int32), axis=1)
+        # Position 0 ranks against the carry; positions 1.. against row i-1.
+        r0 = jnp.sum((carry > carry[self_idx[0]]).astype(jnp.int32))
+        prev_rows = incl[:-1]  # rows 0..chunk-2 serve positions 1..chunk-1
+        self_tail = jnp.take_along_axis(prev_rows, self_idx[1:, None], axis=1)
+        r_tail = jnp.sum((prev_rows > self_tail).astype(jnp.int32), axis=1)
+        r = jnp.concatenate([r0[None], r_tail])
         return jnp.maximum(carry, incl[-1]), ranks.at[c].set(r)
 
     def cond(state):
