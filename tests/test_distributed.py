@@ -61,17 +61,32 @@ _WORKER = textwrap.dedent(
         ns[i] = blk.data.size
 
     mesh = block_mesh()  # all 4 global devices
-    out = encode_blocks_sharded(batch, jnp.asarray(ns), mesh=mesh)
+    crcs = np.zeros(B, np.uint32)
+    for i, blk in enumerate(blocks):
+        crcs[i] = blk.crc
+    out = encode_blocks_sharded(batch, jnp.asarray(ns), jnp.asarray(crcs), mesh=mesh)
     # Ordered gather: fetch per-block words on every process (addressable
     # shards differ; jax.device_get of a global array gathers).
     from jax.experimental import multihost_utils
 
     words = np.asarray(multihost_utils.process_allgather(out["words"], tiled=True))
     bits = np.asarray(multihost_utils.process_allgather(out["total_bits"], tiled=True))
+
+    # Collective stitch: the WHOLE stream (header, blocks, end marker,
+    # stream CRC) assembles on the mesh; host 0 receives finished bytes.
+    from bz2tpu.parallel.stitch import stitch_stream_sharded
+
+    bits_live = bits.astype(np.int32).copy()  # already allgathered above
+    bits_live[len(blocks):] = 0
+    stream, _ = stitch_stream_sharded(
+        out["words"], jnp.asarray(bits_live), jnp.asarray(crcs), len(blocks),
+        level, mesh=mesh,
+    )
     if is_primary():
         with open(sys.argv[4], "wb") as f:
             pickle.dump(
-                {"words": words[: len(blocks)], "bits": bits[: len(blocks)]}, f
+                {"words": words[: len(blocks)], "bits": bits[: len(blocks)],
+                 "stream": stream}, f
             )
     """
 )
@@ -132,18 +147,29 @@ def test_two_process_distributed_matches_single(tmp_path):
     cap = C.block_capacity(1)
     batch = np.zeros((4, cap), np.uint8)
     ns = np.ones(4, np.int32)
+    crcs = np.zeros(4, np.uint32)
     for i, blk in enumerate(blocks):
         batch[i, : blk.data.size] = blk.data
         ns[i] = blk.data.size
+        crcs[i] = blk.crc
     import jax
 
     mesh = block_mesh(4)
-    out = encode_blocks_sharded(batch, jnp.asarray(ns), mesh=mesh)
+    out = encode_blocks_sharded(batch, jnp.asarray(ns), jnp.asarray(crcs), mesh=mesh)
     want_words = np.asarray(jax.device_get(out["words"]))[: len(blocks)]
     want_bits = np.asarray(jax.device_get(out["total_bits"]))[: len(blocks)]
 
     assert (got["bits"] == want_bits).all()
     assert (got["words"] == want_words).all()
+
+    # The collectively-stitched stream must equal the single-process
+    # compressed stream byte-for-byte and decode with libbz2.
+    import bz2 as stdlib_bz2
+
+    from bz2tpu.runtime.compressor import compress
+
+    assert got["stream"] == compress(data, level=1, parallel=4)
+    assert stdlib_bz2.decompress(got["stream"]) == data
 
 
 def test_initialize_single_process_noop():
