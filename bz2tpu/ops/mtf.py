@@ -61,6 +61,8 @@ def _mtf_ranks_collapsed(seq: jnp.ndarray, m: jnp.ndarray, n_in_use: jnp.ndarray
     t_local = jnp.arange(chunk, dtype=jnp.int32)
     ranks0 = jnp.zeros((n_chunks, chunk), jnp.int32)
 
+    k256 = jnp.arange(256, dtype=jnp.int32)
+
     def chunk_body(c, carry, ranks):
         # Rank of position i = #{lanes u: last-occurrence(u) before i >
         # last-occurrence(s_i) before i}. With the carry folded into row 0,
@@ -68,10 +70,24 @@ def _mtf_ranks_collapsed(seq: jnp.ndarray, m: jnp.ndarray, n_in_use: jnp.ndarray
         # i" for every lane — including lane s_i itself (s_{i-1} != s_i in
         # the collapsed domain), so the self lane never overcounts and no
         # exclusive shift or extra maximum pass is needed.
+        #
+        # All (chunk, 256) arrays run in int16 — half the scan/compare
+        # traffic of int32. Local times fit 13 bits; the int32 carry enters
+        # as its RANK mapped to [-512, -257): carry values are distinct on
+        # used lanes and every unused lane (_NEG-tied, ranked arbitrarily)
+        # stays strictly below every used lane, so all comparisons are
+        # order-preserved.
         seq_c = chunks[c]
-        times = c * chunk + t_local
-        onehot_t = jnp.where(seq_c[:, None] == lanes[None, :], times[:, None], _NEG)
-        arr = onehot_t.at[0].max(carry)
+        order = jnp.argsort(carry)
+        carry_v = (
+            jnp.zeros(256, jnp.int32).at[order].set(k256) - 512
+        ).astype(jnp.int16)
+        onehot_t = jnp.where(
+            seq_c[:, None] == lanes[None, :],
+            t_local[:, None].astype(jnp.int16),
+            jnp.int16(-32768),
+        )
+        arr = onehot_t.at[0].max(carry_v)
         incl = lax.cummax(arr, axis=0)
         self_idx = jnp.clip(seq_c, 0, 255)
         # Position 0 ranks against the carry; positions 1.. against row i-1.
@@ -80,7 +96,11 @@ def _mtf_ranks_collapsed(seq: jnp.ndarray, m: jnp.ndarray, n_in_use: jnp.ndarray
         self_tail = jnp.take_along_axis(prev_rows, self_idx[1:, None], axis=1)
         r_tail = jnp.sum((prev_rows > self_tail).astype(jnp.int32), axis=1)
         r = jnp.concatenate([r0[None], r_tail])
-        return jnp.maximum(carry, incl[-1]), ranks.at[c].set(r)
+        # Lanes that occurred in this chunk move their (int32, global-time)
+        # carry forward; absent lanes keep it.
+        occurred = incl[-1] >= 0
+        carry = jnp.where(occurred, c * chunk + incl[-1].astype(jnp.int32), carry)
+        return carry, ranks.at[c].set(r)
 
     def cond(state):
         c, _, _ = state
