@@ -34,6 +34,60 @@ static void crc_init_table(void) {
     }
 }
 
+/* ------------------------------------------------------------------ */
+/* Legacy bzip2 0.9.0 block-randomisation schedule (format-defined       */
+/* constants, bzip2 randtable.c; verified against the installed libbz2   */
+/* via a crafted randomised stream, tests/test_randomised.py). Modern    */
+/* encoders never set the bit; stock bzip2 still DECODES such blocks,    */
+/* so this decoder does too — the reference rejects them                 */
+/* (include/BlockDecompressor.hpp:274-277).                              */
+
+static const int16_t rand_nums[512] = {
+    619, 720, 127, 481, 931, 816, 813, 233, 566, 247, 985, 724,
+    205, 454, 863, 491, 741, 242, 949, 214, 733, 859, 335, 708,
+    621, 574, 73, 654, 730, 472, 419, 436, 278, 496, 867, 210,
+    399, 680, 480, 51, 878, 465, 811, 169, 869, 675, 611, 697,
+    867, 561, 862, 687, 507, 283, 482, 129, 807, 591, 733, 623,
+    150, 238, 59, 379, 684, 877, 625, 169, 643, 105, 170, 607,
+    520, 932, 727, 476, 693, 425, 174, 647, 73, 122, 335, 530,
+    442, 853, 695, 249, 445, 515, 909, 545, 703, 919, 874, 474,
+    882, 500, 594, 612, 641, 801, 220, 162, 819, 984, 589, 513,
+    495, 799, 161, 604, 958, 533, 221, 400, 386, 867, 600, 782,
+    382, 596, 414, 171, 516, 375, 682, 485, 911, 276, 98, 553,
+    163, 354, 666, 933, 424, 341, 533, 870, 227, 730, 475, 186,
+    263, 647, 537, 686, 600, 224, 469, 68, 770, 919, 190, 373,
+    294, 822, 808, 206, 184, 943, 795, 384, 383, 461, 404, 758,
+    839, 887, 715, 67, 618, 276, 204, 918, 873, 777, 604, 560,
+    951, 160, 578, 722, 79, 804, 96, 409, 713, 940, 652, 934,
+    970, 447, 318, 353, 859, 672, 112, 785, 645, 863, 803, 350,
+    139, 93, 354, 99, 820, 908, 609, 772, 154, 274, 580, 184,
+    79, 626, 630, 742, 653, 282, 762, 623, 680, 81, 927, 626,
+    789, 125, 411, 521, 938, 300, 821, 78, 343, 175, 128, 250,
+    170, 774, 972, 275, 999, 639, 495, 78, 352, 126, 857, 956,
+    358, 619, 580, 124, 737, 594, 701, 612, 669, 112, 134, 694,
+    363, 992, 809, 743, 168, 974, 944, 375, 748, 52, 600, 747,
+    642, 182, 862, 81, 344, 805, 988, 739, 511, 655, 814, 334,
+    249, 515, 897, 955, 664, 981, 649, 113, 974, 459, 893, 228,
+    433, 837, 553, 268, 926, 240, 102, 654, 459, 51, 686, 754,
+    806, 760, 493, 403, 415, 394, 687, 700, 946, 670, 656, 610,
+    738, 392, 760, 799, 887, 653, 978, 321, 576, 617, 626, 502,
+    894, 679, 243, 440, 680, 879, 194, 572, 640, 724, 926, 56,
+    204, 700, 707, 151, 457, 449, 797, 195, 791, 558, 945, 679,
+    297, 59, 87, 824, 713, 663, 412, 693, 342, 606, 134, 108,
+    571, 364, 631, 212, 174, 643, 304, 329, 343, 97, 430, 751,
+    497, 314, 983, 374, 822, 928, 140, 206, 73, 263, 980, 736,
+    876, 478, 430, 305, 170, 514, 364, 692, 829, 82, 855, 953,
+    676, 246, 369, 970, 294, 750, 807, 827, 150, 790, 288, 923,
+    804, 378, 215, 828, 592, 281, 565, 555, 710, 82, 896, 831,
+    547, 261, 524, 462, 293, 465, 502, 56, 661, 821, 976, 991,
+    658, 869, 905, 758, 745, 193, 768, 550, 608, 933, 378, 286,
+    215, 979, 792, 961, 61, 688, 793, 644, 986, 403, 106, 366,
+    905, 644, 372, 567, 466, 434, 645, 210, 389, 550, 919, 135,
+    780, 773, 635, 389, 707, 100, 626, 958, 165, 504, 920, 176,
+    193, 713, 857, 265, 203, 50, 668, 108, 645, 990, 626, 197,
+    510, 357, 358, 850, 858, 364, 936, 638,
+};
+
 static uint32_t crc_update(uint32_t s, const uint8_t *p, size_t n) {
     for (size_t i = 0; i < n; i++)
         s = (s << 8) ^ crc_table[(s >> 24) ^ p[i]];
@@ -159,7 +213,6 @@ static int decode_one_block(
     uint32_t stored_crc, randomised, orig_ptr;
     if (br_read(br, 32, &stored_crc) || br_read(br, 1, &randomised) ||
         br_read(br, 24, &orig_ptr)) { e->err = "truncated block header"; return -1; }
-    if (randomised) { e->err = "randomised blocks are not supported"; return -1; }
 
     /* symbol map */
     uint32_t ranges;
@@ -305,9 +358,21 @@ static int decode_one_block(
     int32_t p = tvec[orig_ptr];
     uint8_t prev = 0;
     int run_count = 0;
+    /* randomised (0.9.0 legacy): XOR schedule over the walk output, i.e.
+       the byte stream BEFORE inverse RLE1 (libbz2 decompress.c applies
+       BZ_RAND_MASK to k1 in the un-RLE loop). */
+    int rn_to_go = 0, rt_pos = 0;
     for (int i = 0; i < n_bwt; i++) {
         uint8_t c = bwt[p];
         p = tvec[p];
+        if (randomised) {
+            if (rn_to_go == 0) {
+                rn_to_go = rand_nums[rt_pos];
+                if (++rt_pos == 512) rt_pos = 0;
+            }
+            rn_to_go--;
+            c ^= (rn_to_go == 1);
+        }
         if (run_count == 4) {
             /* c is a count byte: emit c more copies of prev */
             if (c) {

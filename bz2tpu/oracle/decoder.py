@@ -346,9 +346,11 @@ def _decode_member(r: BitReader, level: int, verify_crc: bool, out_parts: list) 
         lengths = _read_tables(r, n_groups, alpha_size)
         tables = [build_decode_tables(lengths[t]) for t in range(n_groups)]
         bwt_last = _decode_huffman_data(r, selectors, tables, used_bytes, alpha_size, max_block)
+        walked = inverse_bwt(bwt_last, orig_ptr)
         if randomised:
-            bwt_last = _derandomise(bwt_last)
-        decoded = inverse_rle1(inverse_bwt(bwt_last, orig_ptr))
+            # libbz2 XORs the walk output (pre-RLE1), NOT the last column.
+            walked = _derandomise(walked)
+        decoded = inverse_rle1(walked)
         if verify_crc:
             got = crc32(decoded)
             if got != block_crc:
@@ -357,9 +359,30 @@ def _decode_member(r: BitReader, level: int, verify_crc: bool, out_parts: list) 
         out_parts.append(decoded)
 
 
+def rand_fire_positions(n: int) -> np.ndarray:
+    """Byte indices (< n) whose value a randomised block XORs with 1.
+
+    The bzip2 0.9.0 schedule (libbz2 decompress.c BZ_RAND_* macros) reloads
+    a countdown from C.RAND_NUMS (cycled) whenever it hits 0, decrements
+    once per post-BWT byte, and fires while the countdown reads 1 — i.e.
+    the k-th fire lands exactly at byte cumsum(RAND_NUMS cycled)[k] - 2.
+    The schedule never depends on the data, so it is a closed-form position
+    list here instead of the serial per-byte counter (a vectorization the
+    serial reference formulation hides). Verified against stock bzip2 via a
+    crafted randomised stream (tests/test_randomised.py)."""
+    if n <= 0:
+        return np.zeros(0, dtype=np.int64)
+    tab = np.asarray(C.RAND_NUMS, dtype=np.int64)
+    reps = int(n // int(tab.sum())) + 2  # min entry 50 bounds fires <= n/50+1
+    fires = np.cumsum(np.tile(tab, reps)) - 2
+    return fires[fires < n]
+
+
 def _derandomise(data: np.ndarray) -> np.ndarray:
-    """Legacy bzip2 0.9.0 block randomisation is not emitted by any modern
-    encoder; like the reference (BlockDecompressor.hpp:274-277) we reject it.
-    (The RAND_NUMS de-randomisation schedule can be added if ever needed.)
-    """
-    raise Bz2FormatError("randomised blocks are not supported")
+    """Undo legacy bzip2 0.9.0 block randomisation (XOR-1 at the RAND_NUMS
+    schedule positions of the post-BWT byte stream). Stock bzip2 decodes
+    such blocks; the reference rejects them (BlockDecompressor.hpp:274-277)
+    — this is the one place the decoder surface exceeds it."""
+    out = data.copy()
+    out[rand_fire_positions(out.size)] ^= 1
+    return out

@@ -384,10 +384,14 @@ def write_block(
     used: np.ndarray,
     mtf: MtfResult,
     plan: HuffmanPlan,
+    randomised: bool = False,
 ) -> None:
+    # randomised is never set by compress() (reference OutputStream.hpp:211;
+    # no modern encoder emits it) — it exists so tests can craft legacy
+    # 0.9.0 randomised blocks to validate the decoders against stock bzip2.
     w.write_bits(48, C.BLOCK_HEADER_MARKER)
     w.write_bits(32, block_crc)
-    w.write_bit(0)  # randomised: never (reference OutputStream.hpp:211)
+    w.write_bit(1 if randomised else 0)
     w.write_bits(24, orig_ptr)
     # Symbol map: 16 range bits + 16 bits per used range (kernel.cpp:2483-2511).
     ranges = used.reshape(16, 16)

@@ -50,7 +50,11 @@ def _parse_block_header(stream: bytes, bit_off: int) -> dict:
         raise Bz2FormatError("bad block marker")
     crc = r.read_bits(32)
     if r.read_bit():
-        raise Bz2FormatError("randomised blocks are not supported")
+        # Legacy 0.9.0 randomised blocks route to the host decoders (which
+        # fully support them, tests/test_randomised.py): the XOR schedule
+        # is a serial detail not worth a device program variant for blocks
+        # no modern encoder emits.
+        raise Bz2FormatError("randomised block: host path")
     orig_ptr = r.read_bits(24)
     used = od._read_symbol_map(r)
     used_bytes = np.flatnonzero(used)
