@@ -152,6 +152,9 @@ from bz2tpu.utils.metrics import scaling_efficiency
 eff = scaling_efficiency(rows)
 print(json.dumps({
     "mode": "virtual_cpu_mesh_weak_scaling",
+    "note": ("plumbing-only: virtual devices share ONE host CPU, so "
+             "efficiency here measures CPU contention, not ICI scaling; "
+             "real efficiency needs a real multi-chip slice"),
     "mb_s": {str(k): round(v, 2) for k, v in rows.items()},
     "efficiency": {str(k): round(v, 3) for k, v in eff.items()},
 }))
@@ -170,6 +173,43 @@ print(json.dumps({
         return json.loads(r.stdout.decode().strip().splitlines()[-1])
     except Exception as e:  # noqa: BLE001 — bench must still print its line
         return {"error": str(e)[:300]}
+
+
+def _corpus_provenance(data: bytes) -> dict:
+    """Reproducibility anchor: the corpus is deterministic given this
+    image's files; the hash lets a third party confirm byte-identity."""
+    import hashlib
+
+    return {
+        "sha256": hashlib.sha256(data).hexdigest(),
+        "composition": "40% on-image real text (LICENSES.txt + numpy/jax "
+                       "sources), 15% numpy ELF .so, 20% seeded Markov "
+                       "text, 15% seeded runs, 10% seeded random",
+        "regenerate": "python -c \"import bench; bench.make_mixed_corpus(N)\"",
+    }
+
+
+def _stock_decompress_sweep(levels=(1, 5, 9)) -> dict:
+    """Decompress STOCK-produced streams (foreign bitstreams, the
+    interop-critical direction) with our host decoder at several levels."""
+    from bz2tpu.runtime.decompressor import decompress as our_decompress
+
+    out = {}
+    for lv in levels:
+        try:
+            n = 2 * 100_000 * lv
+            data = make_mixed_corpus(n)
+            stream = stdlib_bz2.compress(data, lv)
+            t0 = time.time()
+            got = our_decompress(stream)
+            dt = time.time() - t0
+            out[str(lv)] = (
+                {"mb_s": round(n / dt / 1e6, 2)} if got == data
+                else {"error": "mismatch"}
+            )
+        except Exception as e:  # noqa: BLE001
+            out[str(lv)] = {"error": str(e)[:120]}
+    return out
 
 
 def _ratio_sweep(levels=(1, 9)) -> dict:
@@ -208,25 +248,28 @@ def main() -> int:
     compress(warm, level=LEVEL, parallel=BATCH)  # compile + warm caches
     warm_s = time.time() - t0
 
-    # Best of two timed runs: the terminal's speed swings ~2x between
-    # moments (PERF.md round 2); both runs are round-trip-verified.
-    dt = float("inf")
-    for _ in range(2):
+    # Median of three timed runs (all samples recorded in the detail blob:
+    # the terminal's speed swings ~2x between moments, PERF.md round 2);
+    # every run is round-trip-verified.
+    ours_samples = []
+    for _ in range(3):
         t0 = time.time()
         out = compress(data, level=LEVEL, parallel=BATCH)
-        dt = min(dt, time.time() - t0)
+        ours_samples.append(time.time() - t0)
         if stdlib_bz2.decompress(out) != data:
             print(json.dumps({"metric": "compress_throughput", "value": 0.0,
                               "unit": "MB/s", "vs_baseline": 0.0,
                               "error": "round-trip mismatch"}))
             return 1
+    dt = sorted(ours_samples)[1]
     ours = nbytes / dt / 1e6
 
-    stock_dt = float("inf")
-    for _ in range(2):
+    stock_samples = []
+    for _ in range(3):
         t0 = time.time()
         stock = stdlib_bz2.compress(data, LEVEL)
-        stock_dt = min(stock_dt, time.time() - t0)
+        stock_samples.append(time.time() - t0)
+    stock_dt = sorted(stock_samples)[1]
     stock_mbps = nbytes / stock_dt / 1e6
 
     from bz2tpu.runtime.decompressor import decompress as our_decompress
@@ -271,6 +314,10 @@ def main() -> int:
             "stock_decompress_mb_s": round(stock_dec_mbps, 3),
             "device_decompress_mb_s": dev_dec_mbps,
             "warmup_s": round(warm_s, 1),
+            "samples_s": {"ours": [round(s, 3) for s in ours_samples],
+                          "stock": [round(s, 3) for s in stock_samples]},
+            "corpus_provenance": _corpus_provenance(data),
+            "stock_stream_decompress": _stock_decompress_sweep(),
             "ratio_sweep": _ratio_sweep(),
             "scaling": _scaling_table(),
         },
