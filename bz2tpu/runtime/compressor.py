@@ -331,7 +331,16 @@ def compress(
         raise ValueError(f"block size level must be 1..9, got {level}")
     blocks = split_blocks(arr, level)
     capacity = C.BLOCK_SIZE_BASE * level
-    batch = min(parallel or DEFAULT_BATCH, max(len(blocks), 1))
+    batch = parallel or DEFAULT_BATCH
+    if len(blocks) < batch:
+        # Quantize small streams to power-of-two batch widths: every
+        # distinct width is its own multi-minute XLA compile on the
+        # terminal, so {1,2,4,8} bounds the program count (utils.jaxenv
+        # .prime pre-compiles 1 and the full batch).
+        b = 1
+        while b < max(len(blocks), 1):
+            b <<= 1
+        batch = b
 
     parts: list[tuple[np.ndarray, int]] = []
     head = BitWriter()

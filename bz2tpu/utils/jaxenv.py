@@ -42,11 +42,24 @@ def prime(levels=(9,), batch: int | None = None, verbose: bool = True) -> None:
     """
     import time
 
+    import numpy as np
+
     setup_compilation_cache()
+    from bz2tpu.format import constants as C
     from bz2tpu.runtime.compressor import DEFAULT_BATCH, compress
 
+    b = batch or DEFAULT_BATCH
     for level in levels:
         t0 = time.time()
-        compress(b"prime" * 300, level=level, parallel=batch or DEFAULT_BATCH)
+        # Single-block shape (batch 1): the small-file fast path.
+        compress(b"prime" * 300, level=level, parallel=b)
+        # Full-batch shape: random bytes barely shrink under RLE1, so
+        # b*capacity - margin raw bytes split into exactly b full blocks —
+        # the same (b, capacity) programs every real stream uses. (The old
+        # tiny-input prime only ever compiled batch=1, which is why primed
+        # runs still paid the full batch compile.)
+        n = b * C.BLOCK_SIZE_BASE * level - 4096
+        data = np.random.default_rng(0).integers(0, 256, n, dtype=np.uint8)
+        compress(data, level=level, parallel=b)
         if verbose:
-            print(f"primed level {level}: {time.time() - t0:.1f}s")
+            print(f"primed level {level} (batch 1 + {b}): {time.time() - t0:.1f}s")
