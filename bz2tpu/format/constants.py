@@ -43,8 +43,14 @@ HUFFMAN_ENCODE_MAX_LENGTH = 17  # stock bzip2 encoder cap (1.0.x)
 HUFFMAN_DECODE_MAX_LENGTH = 23  # decoder table size; lengths 1..20 accepted
 HUFFMAN_DECODE_MAX_ACCEPTED_LENGTH = 20
 
-# Number of group->table assignment refinement passes (stock BZ_N_ITERS).
-HUFFMAN_REFINE_ITERS = 4
+# Number of group->table assignment refinement passes. Stock bzip2 uses 4
+# (BZ_N_ITERS); we run 8: each pass is one (maxsel,258)x(258,6) MXU matmul
+# + argmin + 6 table rebuilds, and the extra 4 passes measured +0.3 s per
+# 8x900k batch (within the box's run-to-run noise) while moving the bench
+# corpus from +740 bytes vs stock libbz2 to -95 bytes (12 passes: -175,
+# diminishing). Encoder freedom: any conformant table/selector choice is
+# legal; more refinement only tightens the fit.
+HUFFMAN_REFINE_ITERS = 8
 
 # --- RLE2 run symbols ---
 RUNA = 0
