@@ -55,6 +55,19 @@ def _head_positions(head: jnp.ndarray) -> jnp.ndarray:
     return lax.cummax(jnp.where(head, iota, 0))
 
 
+def _inverse_permute(order: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:
+    """out[order[i]] = vals[i], via a 2-operand sort keyed on ``order``.
+
+    Equivalent to ``zeros.at[order].set(vals)`` but measured 24% faster
+    end-to-end on the BWT stage here (tools/probe4_out.jsonl: the axon AOT
+    executables are built +prefer-no-scatter, so the scatter lowering is
+    the slow path while ``lax.sort`` is the one primitive this backend
+    runs well). ``order`` must be a permutation of 0..n-1.
+    """
+    _, out = lax.sort((order, vals), num_keys=1)
+    return out
+
+
 def _tied(head: jnp.ndarray) -> jnp.ndarray:
     """Element (in sorted order) is in a group of size >= 2."""
     nxt = jnp.concatenate([head[1:], jnp.ones((1,), jnp.bool_)])
@@ -81,19 +94,27 @@ def bwt_encode(block: jnp.ndarray, n: jnp.ndarray, *, capacity: int | None = Non
     data = block.astype(jnp.int32)
 
     def wrap(k):
+        # Doubling rounds guarantee k < n (loop cond), so the modulo is one
+        # conditional subtract — TPU integer division is a long expansion.
+        s = iota + k
+        return jnp.where(valid, jnp.where(s >= n, s - n, s), 0)
+
+    def wrap0(k):
+        # Round 0 only: k in {1, 2} is not bounded by n for degenerate
+        # blocks, and this runs once, so the true modulo stays.
         return jnp.where(valid, (iota + k) % n, 0)
 
     # --- round 0: rank over 3 chars with one 24-bit key (2-operand sort).
     # Padding gets 2^24 + i: distinct and strictly above every valid key,
     # an invariant every re-rank preserves (padding sorts last, stays
     # singleton, and is never active).
-    key24 = data * 65536 + data[wrap(1)] * 256 + data[wrap(2)]
+    key24 = data * 65536 + data[wrap0(1)] * 256 + data[wrap0(2)]
     key0 = jnp.where(valid, key24, (1 << 24) + iota)
     key_sorted, order = lax.sort((key0, iota), num_keys=1)
     head = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), key_sorted[1:] != key_sorted[:-1]]
     )
-    rank = jnp.zeros(cap, jnp.int32).at[order].set(_head_positions(head))
+    rank = _inverse_permute(order, _head_positions(head))
     active = jnp.sum(_tied(head).astype(jnp.int32))
     if _SPARSE_ROUNDS:
         active_mask = jnp.zeros(cap, jnp.bool_).at[order].set(_tied(head))
@@ -111,7 +132,7 @@ def bwt_encode(block: jnp.ndarray, n: jnp.ndarray, *, capacity: int | None = Non
                 (key_r[1:] != key_r[:-1]) | (key_s[1:] != key_s[:-1]),
             ]
         )
-        rank = jnp.zeros(cap, jnp.int32).at[order].set(_head_positions(head))
+        rank = _inverse_permute(order, _head_positions(head))
         tied = _tied(head)
         if _SPARSE_ROUNDS:
             active_mask = jnp.zeros(cap, jnp.bool_).at[order].set(tied)
@@ -190,7 +211,8 @@ def bwt_encode(block: jnp.ndarray, n: jnp.ndarray, *, capacity: int | None = Non
         sa = state[1]
 
     orig_ptr = jnp.argmax(sa == 0).astype(jnp.int32)
-    last = jnp.where(valid, block[(sa - 1) % n], 0).astype(jnp.uint8)
+    prev = jnp.where(sa == 0, n - 1, sa - 1)  # mod-free: 0 <= sa < cap
+    last = jnp.where(valid, block[prev], 0).astype(jnp.uint8)
     return last, orig_ptr
 
 
