@@ -244,9 +244,31 @@ def main() -> int:
     data = make_mixed_corpus(nbytes)
     warm = make_mixed_corpus(nbytes)[: nbytes // 2] + make_text(nbytes - nbytes // 2, 42)
 
+    # Count XLA compile events during warmup: a primed persistent cache
+    # should show ~0 fresh compiles (VERDICT-r2 item 5 — warmup residue is
+    # then backend init + AOT loads, i.e. environment, not our shapes).
+    import logging
+
+    import jax as _jax
+
+    compile_events: list[str] = []
+
+    class _CompileCounter(logging.Handler):
+        def emit(self, record):
+            if "ompil" in record.getMessage():
+                compile_events.append(record.getMessage()[:80])
+
+    _jax.config.update("jax_log_compiles", True)
+    _h = _CompileCounter()
+    logging.getLogger("jax").addHandler(_h)
+    logging.getLogger("jax").setLevel(logging.WARNING)
+
     t0 = time.time()
     compress(warm, level=LEVEL, parallel=BATCH)  # compile + warm caches
     warm_s = time.time() - t0
+    warm_compiles = len(compile_events)
+    _jax.config.update("jax_log_compiles", False)
+    logging.getLogger("jax").removeHandler(_h)
 
     # Median of three timed runs (all samples recorded in the detail blob:
     # the terminal's speed swings ~2x between moments, PERF.md round 2);
@@ -314,6 +336,7 @@ def main() -> int:
             "stock_decompress_mb_s": round(stock_dec_mbps, 3),
             "device_decompress_mb_s": dev_dec_mbps,
             "warmup_s": round(warm_s, 1),
+            "warmup_compiles": warm_compiles,
             "samples_s": {"ours": [round(s, 3) for s in ours_samples],
                           "stock": [round(s, 3) for s in stock_samples]},
             "corpus_provenance": _corpus_provenance(data),
