@@ -149,17 +149,18 @@ def mtf_rle2_encode(
     seq = jnp.where(valid, dense[lasti], -1)
 
     # --- collapse runs: keep only change positions ---
+    # Compaction by one 3-operand stable sort on a front/back key instead
+    # of two masked scatters: change positions keep relative order at the
+    # front, the rest sink. Same scatter-is-the-slow-path reasoning as the
+    # BWT re-rank (ops/bwt.py:_inverse_permute, tools/probe4_out.jsonl).
     prev = jnp.concatenate([jnp.full((1,), -2, jnp.int32), seq[:-1]])
     change = valid & (seq != prev)
-    cpos = jnp.cumsum(change.astype(jnp.int32)) - 1  # collapsed index per change
     m = jnp.sum(change.astype(jnp.int32))  # collapsed length
-    trash = cap  # scatter trash slot
-    cseq = jnp.full(cap + 1, -1, jnp.int32).at[
-        jnp.where(change, cpos, trash)
-    ].set(jnp.where(change, seq, -1))[:cap]
-    cidx = jnp.full(cap + 1, 0, jnp.int32).at[
-        jnp.where(change, cpos, trash)
-    ].set(jnp.where(change, iota, 0))[:cap]
+    front_key = jnp.where(change, iota, cap + iota)
+    _, cseq_s, cidx_s = lax.sort((front_key, seq, iota), num_keys=1)
+    k_pos = jnp.arange(cap, dtype=jnp.int32)
+    cseq = jnp.where(k_pos < m, cseq_s, -1)
+    cidx = jnp.where(k_pos < m, cidx_s, 0)
 
     if use_pallas:
         from bz2tpu.ops.mtf_pallas import mtf_ranks_pallas
