@@ -44,6 +44,21 @@ _USE_PALLAS_DEFAULT = os.environ.get("BZ2TPU_PALLAS", "0") == "1"
 _MAX_RUN_DIGITS = 21  # floor(log2(900_001 + 1)) = 19; margin for any capacity
 
 
+def _hist_by_sort(vals: jnp.ndarray, n_bins: int) -> jnp.ndarray:
+    """Histogram of ``vals`` into bins 0..n_bins-1 via sort + searchsorted.
+
+    Entries outside [0, n_bins) are ignored (map them to >= n_bins before
+    calling, e.g. a sentinel). Measured 2.2x faster than the scatter-add
+    .at[].add(1) histogram on this backend (tools/probe8_out.jsonl:
+    44 ms vs 97 ms per (8, 900k) batch row) — one cheap 1-operand sort
+    plus a 257-query binary search instead of a scatter pass.
+    """
+    s = lax.sort((vals,), num_keys=1)[0]
+    edges = jnp.arange(n_bins + 1, dtype=vals.dtype)
+    cuts = jnp.searchsorted(s, edges, side="left")
+    return (cuts[1:] - cuts[:-1]).astype(jnp.int32)
+
+
 def _mtf_ranks_collapsed(seq: jnp.ndarray, m: jnp.ndarray, n_in_use: jnp.ndarray, chunk: int) -> jnp.ndarray:
     """MTF ranks for a run-collapsed dense symbol sequence.
 
@@ -142,7 +157,7 @@ def mtf_rle2_encode(
     valid = iota < n
     lasti = last.astype(jnp.int32)
 
-    used_counts = jnp.zeros(256, jnp.int32).at[lasti].add(valid.astype(jnp.int32))
+    used_counts = _hist_by_sort(jnp.where(valid, lasti, 256), 256)
     used = used_counts > 0
     n_in_use = jnp.sum(used.astype(jnp.int32))
     dense = jnp.cumsum(used.astype(jnp.int32)) - 1
@@ -236,10 +251,7 @@ def mtf_rle2_encode(
     out = out.at[otrash].set(-1)
     out = out[: cap + 2]
 
-    sym_valid = out >= 0
-    freqs = jnp.zeros(258, jnp.int32).at[jnp.clip(out, 0, 257)].add(
-        sym_valid.astype(jnp.int32)
-    )
+    freqs = _hist_by_sort(jnp.where(out >= 0, out, 258), 258)
     return {
         "symbols": out,
         "n_sym": n_sym,
