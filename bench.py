@@ -265,6 +265,9 @@ def main() -> int:
 
     t0 = time.time()
     compress(warm, level=LEVEL, parallel=BATCH)  # compile + warm caches
+    compress(warm, level=LEVEL, parallel=BATCH)  # 2nd warm: the first
+    # post-compile run still carries a ~30% backend warm tail (measured
+    # in every probe series; samples_s records all timed runs anyway)
     warm_s = time.time() - t0
     warm_compiles = len(compile_events)
     _jax.config.update("jax_log_compiles", False)
