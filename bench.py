@@ -189,6 +189,30 @@ def _corpus_provenance(data: bytes) -> dict:
     }
 
 
+def _worst_case() -> dict:
+    """BWT worst case (BASELINE 'repetitive/low-entropy' config): a
+    251-byte cycle of distinct values — RLE1 cannot collapse it and every
+    suffix shares long periodic context, so prefix doubling runs its full
+    round count (the input class the reference needed a TRBudget escape
+    hatch for, kernel.cpp:2109-2142). Same batch shapes as the main run,
+    so no extra compiles."""
+    from bz2tpu.runtime.compressor import compress
+
+    try:
+        cycle = bytes(range(1, 252))
+        n = 8 * 9 * 100_000
+        data = (cycle * (n // len(cycle) + 1))[:n]
+        out = compress(data, level=LEVEL, parallel=BATCH)  # warm shapes
+        t0 = time.time()
+        out = compress(data, level=LEVEL, parallel=BATCH)
+        dt = time.time() - t0
+        if stdlib_bz2.decompress(out) != data:
+            return {"error": "round-trip mismatch"}
+        return {"mb_s": round(n / dt / 1e6, 3), "ratio": round(len(out) / n, 5)}
+    except Exception as e:  # noqa: BLE001
+        return {"error": str(e)[:120]}
+
+
 def _stock_decompress_sweep(levels=(1, 5, 9)) -> dict:
     """Decompress STOCK-produced streams (foreign bitstreams, the
     interop-critical direction) with our host decoder at several levels."""
@@ -345,6 +369,7 @@ def main() -> int:
             "corpus_provenance": _corpus_provenance(data),
             "stock_stream_decompress": _stock_decompress_sweep(),
             "ratio_sweep": _ratio_sweep(),
+            "bwt_worst_case": _worst_case(),
             "scaling": _scaling_table(),
         },
     }))
