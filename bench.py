@@ -213,6 +213,26 @@ def _worst_case() -> dict:
         return {"error": str(e)[:120]}
 
 
+def _device_intake() -> dict:
+    """Fully-device compress (RLE1 + splitting + CRC on the TPU, zero
+    host passes over raw bytes — the no-C-extension path, `--backend
+    device`). One batch of 8 level-9 blocks; round-trip verified."""
+    from bz2tpu.runtime.compressor import compress_device_intake
+
+    try:
+        n = 8 * 9 * 100_000
+        data = make_mixed_corpus(n)
+        out = compress_device_intake(data, level=LEVEL, parallel=BATCH)  # warm
+        t0 = time.time()
+        out = compress_device_intake(data, level=LEVEL, parallel=BATCH)
+        dt = time.time() - t0
+        if stdlib_bz2.decompress(out) != data:
+            return {"error": "round-trip mismatch"}
+        return {"mb_s": round(n / dt / 1e6, 3)}
+    except Exception as e:  # noqa: BLE001
+        return {"error": str(e)[:120]}
+
+
 def _stock_decompress_sweep(levels=(1, 5, 9)) -> dict:
     """Decompress STOCK-produced streams (foreign bitstreams, the
     interop-critical direction) with our host decoder at several levels."""
@@ -370,6 +390,7 @@ def main() -> int:
             "stock_stream_decompress": _stock_decompress_sweep(),
             "ratio_sweep": _ratio_sweep(),
             "bwt_worst_case": _worst_case(),
+            "device_intake_compress": _device_intake(),
             "scaling": _scaling_table(),
         },
     }))
