@@ -288,19 +288,27 @@ def main() -> int:
     data = make_mixed_corpus(nbytes)
     warm = make_mixed_corpus(nbytes)[: nbytes // 2] + make_text(nbytes - nbytes // 2, 42)
 
-    # Count XLA compile events during warmup: a primed persistent cache
-    # should show ~0 fresh compiles (VERDICT-r2 item 5 — warmup residue is
-    # then backend init + AOT loads, i.e. environment, not our shapes).
+    # Count XLA compile events during warmup, separating fresh compiles
+    # from persistent-cache hits: a primed cache should show ~0 FRESH
+    # compiles (VERDICT-r2 item 5 — warmup residue is then backend init +
+    # AOT loads, i.e. environment, not our shapes). jax logs a
+    # "Compiling <fn>" line before the cache lookup and a "Persistent
+    # compilation cache hit" line when the lookup succeeds, so
+    # fresh = compiling - hits.
     import logging
 
     import jax as _jax
 
-    compile_events: list[str] = []
+    compiling_events: list[str] = []
+    cache_hit_events: list[str] = []
 
     class _CompileCounter(logging.Handler):
         def emit(self, record):
-            if "ompil" in record.getMessage():
-                compile_events.append(record.getMessage()[:80])
+            msg = record.getMessage()
+            if "Persistent compilation cache hit" in msg:
+                cache_hit_events.append(msg[:80])
+            elif msg.startswith("Compiling "):
+                compiling_events.append(msg[:80])
 
     _jax.config.update("jax_log_compiles", True)
     _h = _CompileCounter()
@@ -313,7 +321,8 @@ def main() -> int:
     # post-compile run still carries a ~30% backend warm tail (measured
     # in every probe series; samples_s records all timed runs anyway)
     warm_s = time.time() - t0
-    warm_compiles = len(compile_events)
+    warm_cache_hits = len(cache_hit_events)
+    warm_compiles = max(len(compiling_events) - warm_cache_hits, 0)
     _jax.config.update("jax_log_compiles", False)
     logging.getLogger("jax").removeHandler(_h)
 
@@ -383,7 +392,8 @@ def main() -> int:
             "stock_decompress_mb_s": round(stock_dec_mbps, 3),
             "device_decompress_mb_s": dev_dec_mbps,
             "warmup_s": round(warm_s, 1),
-            "warmup_compiles": warm_compiles,
+            "warmup_fresh_compiles": warm_compiles,
+            "warmup_cache_hits": warm_cache_hits,
             "samples_s": {"ours": [round(s, 3) for s in ours_samples],
                           "stock": [round(s, 3) for s in stock_samples]},
             "corpus_provenance": _corpus_provenance(data),

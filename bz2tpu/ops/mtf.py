@@ -152,6 +152,10 @@ def mtf_rle2_encode(
       n_in_use: scalar int32.
       freqs: (258,) int32 — symbol histogram over the valid stream.
     """
+    if chunk > 32768:
+        # The scan runs its (chunk, 256) arrays in int16; local times must
+        # fit 15 bits or the cummax last-occurrence invariant breaks.
+        raise ValueError(f"mtf chunk must be <= 32768, got {chunk}")
     cap = last.shape[0]
     iota = jnp.arange(cap, dtype=jnp.int32)
     valid = iota < n

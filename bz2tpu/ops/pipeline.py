@@ -18,7 +18,7 @@ from bz2tpu.ops.huffman import huffman_assign, max_selectors
 from bz2tpu.ops.mtf import mtf_rle2_encode
 
 
-def encode_block(block, n, crc, *, mtf_chunk: int = 8192):
+def encode_block(block, n, crc, *, mtf_chunk: int = 4096):
     """Encode one padded block into its COMPLETE bitstream (header +
     symbol data) on device (reference close_block, kernel.cpp:3099-3122;
     the header emission matches kernel.cpp:2483-2511,2991-3041)."""
@@ -47,7 +47,7 @@ def encode_block(block, n, crc, *, mtf_chunk: int = 8192):
 
 
 @functools.partial(jax.jit, static_argnames=("mtf_chunk",))
-def encode_blocks(blocks, ns, crcs, *, mtf_chunk: int = 8192):
+def encode_blocks(blocks, ns, crcs, *, mtf_chunk: int = 4096):
     """vmapped batch encode: blocks (B, capacity) uint8, ns (B,) int32,
     crcs (B,) uint32 (per-block CRCs from the RLE1 intake)."""
     return jax.vmap(functools.partial(encode_block, mtf_chunk=mtf_chunk))(blocks, ns, crcs)
@@ -67,7 +67,7 @@ def bwt_stage(blocks, ns):
 
 
 @functools.partial(jax.jit, static_argnames=("mtf_chunk",))
-def mtf_stage(last, ns, *, mtf_chunk: int = 8192):
+def mtf_stage(last, ns, *, mtf_chunk: int = 4096):
     return jax.vmap(lambda l, n: mtf_rle2_encode(l, n, chunk=mtf_chunk))(last, ns)
 
 
@@ -103,7 +103,7 @@ def huff_pack_stage(symbols, n_sym, freqs, n_in_use, orig_ptr, used, crcs):
     return jax.vmap(one)(symbols, n_sym, freqs, n_in_use, orig_ptr, used, crcs)
 
 
-def encode_blocks_staged(blocks, ns, crcs, *, mtf_chunk: int = 8192):
+def encode_blocks_staged(blocks, ns, crcs, *, mtf_chunk: int = 4096):
     """Same result pytree as encode_blocks (plus 'meta'), via staged jits."""
     last, orig_ptr = bwt_stage(blocks, ns)
     mtf = mtf_stage(last, ns, mtf_chunk=mtf_chunk)

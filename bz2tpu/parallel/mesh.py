@@ -67,7 +67,7 @@ def _sharded_stages(mesh: Mesh, mtf_chunk: int):
     )
 
 
-def encode_blocks_sharded(blocks, ns, crcs=None, *, mesh: Mesh, mtf_chunk: int = 8192):
+def encode_blocks_sharded(blocks, ns, crcs=None, *, mesh: Mesh, mtf_chunk: int = 4096):
     """Batched block encode, blocks sharded over the mesh.
 
     blocks: (B, capacity) uint8 with B divisible by mesh size; ns: (B,);

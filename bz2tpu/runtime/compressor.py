@@ -254,6 +254,13 @@ def compress_device_intake(
             parts.append((words[i].astype(">u4").view(np.uint8), int(meta[i, 5])))
             crc_list.append(int(crcs_host[i]))
         offset += int(raw_lens[:nb].sum())
+        if cur_chunk_n > chunk_n and nb == batch:
+            # A full batch from a widened window means the data stopped
+            # being ultra-compressible: block_cuts caps at `batch` blocks,
+            # so keeping the wide window would re-scan/upload up to 8x the
+            # consumable bytes every launch. Drop back to the base window
+            # (re-escalation is cheap: each pow2 size is a cached compile).
+            cur_chunk_n = chunk_n
 
     tail = BitWriter()
     tail.write_bits(48, C.STREAM_END_MARKER)
@@ -336,7 +343,7 @@ def compress(
         # Quantize small streams to power-of-two batch widths: every
         # distinct width is its own multi-minute XLA compile on the
         # terminal, so {1,2,4,8} bounds the program count (utils.jaxenv
-        # .prime pre-compiles 1 and the full batch).
+        # .prime pre-compiles every width in the set).
         b = 1
         while b < max(len(blocks), 1):
             b <<= 1

@@ -51,15 +51,25 @@ def prime(levels=(9,), batch: int | None = None, verbose: bool = True) -> None:
     b = batch or DEFAULT_BATCH
     for level in levels:
         t0 = time.time()
-        # Single-block shape (batch 1): the small-file fast path.
-        compress(b"prime" * 300, level=level, parallel=b)
-        # Full-batch shape: random bytes barely shrink under RLE1, so
-        # b*capacity - margin raw bytes split into exactly b full blocks —
-        # the same (b, capacity) programs every real stream uses. (The old
-        # tiny-input prime only ever compiled batch=1, which is why primed
-        # runs still paid the full batch compile.)
-        n = b * C.BLOCK_SIZE_BASE * level - 4096
-        data = np.random.default_rng(0).integers(0, 256, n, dtype=np.uint8)
-        compress(data, level=level, parallel=b)
+        # Every pow2 batch width the quantizer can pick (compressor.py:
+        # small streams quantize to {1, 2, 4, ..., b}), plus the full
+        # batch. Random bytes barely shrink under RLE1, so w*capacity -
+        # margin raw bytes split into exactly w full blocks — the same
+        # (w, capacity) programs real streams use. (The old tiny-input
+        # prime only ever compiled batch=1, which is why primed runs
+        # still paid the full batch compile.)
+        w = 1
+        widths = []
+        while w < b:
+            widths.append(w)
+            w <<= 1
+        widths.append(b)
+        for w in widths:
+            if w == 1:
+                compress(b"prime" * 300, level=level, parallel=b)
+                continue
+            n = w * C.BLOCK_SIZE_BASE * level - 4096
+            data = np.random.default_rng(0).integers(0, 256, n, dtype=np.uint8)
+            compress(data, level=level, parallel=b)
         if verbose:
             print(f"primed level {level} (batch 1 + {b}): {time.time() - t0:.1f}s")
