@@ -78,3 +78,17 @@ def test_device_intake_level9_slow():
     for i, blk in enumerate(blocks):
         assert int(np.asarray(res["ns"])[i]) == blk.data.size
         assert int(np.asarray(res["crcs"])[i]) == blk.crc
+
+
+def test_compress_device_intake_escalate_then_reset():
+    # A highly compressible prefix escalates the chunk window (nb==1,
+    # under-full); the incompressible tail must then drop back to the
+    # base window (a widened window caps at `batch` blocks per launch,
+    # so staying wide would re-scan ~8x the consumable bytes). Stream
+    # correctness across the escalate -> emit -> reset sequence:
+    rng = np.random.default_rng(77)
+    prefix = b"\x00" * 600_000
+    tail = rng.integers(0, 256, 700_000, dtype=np.uint8).tobytes()
+    data = prefix + tail
+    out = compress_device_intake(data, level=1, parallel=2)
+    assert stdlib_bz2.decompress(out) == data
