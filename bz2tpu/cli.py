@@ -34,7 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
     from bz2tpu import __version__
 
     p.add_argument("--version", action="version", version=f"bz2tpu {__version__}")
-    p.add_argument("file", help="input file ('-' for stdin->stdout)")
+    p.add_argument(
+        "files", nargs="+", metavar="file",
+        help="input file(s); '-' for stdin->stdout. Like stock bzip2, "
+        "several files process in one invocation — and share one warmed "
+        "backend, so only the first pays the startup cost",
+    )
     p.add_argument("--dec", action="store_true", help="decompress")
     p.add_argument("--check", action="store_true", help="integrity check only (decode + CRC verify)")
     p.add_argument(
@@ -79,7 +84,26 @@ def main(argv: list[str] | None = None) -> int:
     if not 1 <= args.size <= 9:
         print("error: --size must be 1..9", file=sys.stderr)
         return 2
+    if len(args.files) > 1:
+        if args.output:
+            print("error: -o/--output requires a single input file", file=sys.stderr)
+            return 2
+        if "-" in args.files:
+            print("error: '-' (stdio) cannot be mixed with file inputs", file=sys.stderr)
+            return 2
+        # Stock-bzip2 multi-file semantics: process each in turn; exit
+        # status is the worst individual status. One process = one warmed
+        # backend for all files.
+        worst = 0
+        for f in args.files:
+            args.file = f
+            worst = max(worst, _run_one(args))
+        return worst
+    args.file = args.files[0]
+    return _run_one(args)
 
+
+def _run_one(args) -> int:
     from bz2tpu.utils.metrics import Clock, RunMetrics
 
     if args.banner and args.backend == "tpu":

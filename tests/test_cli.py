@@ -72,3 +72,29 @@ def test_cli_prime(tmp_path, monkeypatch):
     from bz2tpu.cli import main
 
     assert main(["-", "--prime", "--size", "1", "--parallel", "2"]) == 0
+
+
+def test_cli_multi_file(tmp_path):
+    # Stock-bzip2 multi-file semantics: each input gets its own .bz2 in
+    # one invocation (one warmed backend).
+    import bz2 as stdlib_bz2
+
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"f{i}.txt"
+        p.write_bytes(f"hello world {i} ".encode() * 200)
+        paths.append(p)
+    rc = run_cli([str(p) for p in paths] + ["--backend", "oracle", "--size", "1"])
+    assert rc.returncode == 0, rc.stderr
+    for p in paths:
+        out = p.with_suffix(p.suffix + ".bz2")
+        assert stdlib_bz2.decompress(out.read_bytes()) == p.read_bytes()
+
+
+def test_cli_multi_file_rejects_output_flag(tmp_path):
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.write_bytes(b"x")
+    b.write_bytes(b"y")
+    rc = run_cli([str(a), str(b), "-o", str(tmp_path / "out")])
+    assert rc.returncode == 2
