@@ -48,3 +48,15 @@ def test_long_zero_run_digits(rng):
     for size in (1, 2, 3, 4, 5, 6, 7, 8, 9, 100, 255, 256, 1000, 2047):
         arr = np.full(size, 7, dtype=np.uint8)
         _check(arr, cap=2048)
+
+
+def test_mtf_chunk_over_int16_bound_rejected():
+    # The scan runs (chunk, 256) arrays in int16; chunk > 32768 would wrap
+    # local times negative and silently corrupt ranks — it must raise.
+    import jax.numpy as jnp
+    import pytest
+
+    from bz2tpu.ops.mtf import mtf_rle2_encode
+
+    with pytest.raises(ValueError, match="32768"):
+        mtf_rle2_encode(jnp.zeros(1024, jnp.uint8), jnp.int32(1024), chunk=65536)
