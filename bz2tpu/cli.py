@@ -35,7 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     p.add_argument("--version", action="version", version=f"bz2tpu {__version__}")
     p.add_argument(
-        "files", nargs="+", metavar="file",
+        "files", nargs="*", metavar="file",
         help="input file(s); '-' for stdin->stdout. Like stock bzip2, "
         "several files process in one invocation — and share one warmed "
         "backend, so only the first pays the startup cost",
@@ -84,6 +84,21 @@ def main(argv: list[str] | None = None) -> int:
     if not 1 <= args.size <= 9:
         print("error: --size must be 1..9", file=sys.stderr)
         return 2
+    if args.prime:
+        # One prime pass per process, regardless of how many files were
+        # listed (they are not processed — prime is compile-and-exit).
+        if args.files:
+            print(
+                "note: --prime compiles and exits; listed files ignored",
+                file=sys.stderr,
+            )
+        from bz2tpu.utils.jaxenv import prime
+
+        prime(levels=(args.size,), batch=args.parallel or None, verbose=True)
+        return 0
+    if not args.files:
+        print("error: no input files (or '-' for stdin)", file=sys.stderr)
+        return 2
     if len(args.files) > 1:
         if args.output:
             print("error: -o/--output requires a single input file", file=sys.stderr)
@@ -110,13 +125,6 @@ def _run_one(args) -> int:
         from bz2tpu.utils.device import print_device_banner
 
         print_device_banner()
-
-    if args.prime:
-        from bz2tpu.utils.jaxenv import prime
-
-        # Priming compiles for minutes; progress output is always on.
-        prime(levels=(args.size,), batch=args.parallel or None, verbose=True)
-        return 0
 
     use_stdio = args.file == "-"
     if not use_stdio and not os.path.exists(args.file):

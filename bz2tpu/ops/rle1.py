@@ -17,7 +17,7 @@ Here the whole stage is data-parallel on device:
     range CRCs — no second pass over the data on the host.
 
 Differential-tested against the oracle splitter and the native C intake
-(tests/test_ops_rle1.py).
+(tests/test_ops_intake.py).
 """
 
 from __future__ import annotations

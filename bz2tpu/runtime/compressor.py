@@ -274,7 +274,8 @@ def _encode_batches_concat(blocks: list[Rle1Block], capacity: int, batch: int):
     """Like _encode_batches but the batch's block bitstreams concatenate ON
     DEVICE (ops/emit.concat_block_words): yields per-BATCH
     (bytes_be, nbits) — one scalar fetch + one sliced words fetch per
-    batch, zero host bit work (opt-in: BZ2TPU_DEVICE_STITCH=1)."""
+    batch, zero host bit work (default ON; BZ2TPU_DEVICE_STITCH=0
+    restores the per-block host stitch)."""
     import jax.numpy as jnp
 
     from bz2tpu.ops.emit import concat_block_words
@@ -343,11 +344,12 @@ def compress(
         # Quantize small streams to power-of-two batch widths: every
         # distinct width is its own multi-minute XLA compile on the
         # terminal, so {1,2,4,8} bounds the program count (utils.jaxenv
-        # .prime pre-compiles every width in the set).
+        # .prime pre-compiles every width in the set). An EXPLICIT
+        # --parallel is a device-memory cap, so never quantize past it.
         b = 1
         while b < max(len(blocks), 1):
             b <<= 1
-        batch = b
+        batch = min(b, parallel) if parallel else b
 
     parts: list[tuple[np.ndarray, int]] = []
     head = BitWriter()

@@ -27,6 +27,23 @@ from bz2tpu.oracle.decoder import decompress as _oracle_decompress
 _PARALLEL_THRESHOLD = 1 << 20  # compressed bytes
 
 
+def _tail_is_memberlike(buf, end_bit: int) -> bool:
+    """True if the byte-aligned remainder after a stream's 32-bit CRC (which
+    starts at ``end_bit``, the end-marker bit) begins with a (possibly
+    truncated) "BZh<1-9>" magic — i.e. the optimistic single-member parallel
+    paths must defer to the sequential decoder, which knows the multi-member
+    / truncated-magic semantics (native decode_stream, _bz2dec.c:424-500).
+    Non-magic junk tails are ignorable everywhere, so False."""
+    end_byte = (end_bit + 48 + 32 + 7) // 8
+    tail = bytes(buf[end_byte : end_byte + 4])
+    if not tail:
+        return False
+    k = min(len(tail), 3)
+    if tail[:k] != b"BZh"[:k]:
+        return False
+    return len(tail) < 4 or ord("1") <= tail[3] <= ord("9")
+
+
 def _decompress_parallel(stream: bytes, verify_crc: bool) -> bytes | None:
     """Block-parallel decode; None means 'use the sequential path'."""
     if len(stream) < 4 or stream[:3] != b"BZh":
@@ -67,6 +84,8 @@ def _decompress_parallel(stream: bytes, verify_crc: bool) -> bytes | None:
     last_end = results[-1][2]
     if last_end not in ends:
         return None
+    if _tail_is_memberlike(stream, last_end):
+        return None  # possible extra member / truncated magic: sequential
     if verify_crc:
         s_crc = 0
         for _, crc, _ in results:
@@ -120,9 +139,11 @@ def decompress_file(
     The input is mmapped (never copied through the slow host heap); blocks
     decode in a thread pool through the GIL-releasing native core with at
     most `window` decoded blocks in flight, and bytes stream to the output
-    as each block completes in order. Falls back to whole-buffer decode
-    for streams the optimistic block scan cannot chain (multi-member,
-    marker false positives). Output appears atomically (temp + rename).
+    as each block completes in order. Streams the optimistic block scan
+    cannot chain (multi-member, marker false positives) fall back to a
+    sequential push decode that is STILL bounded-memory (chunked
+    StreamDecompressor; only without the native core does the pure-NumPy
+    whole-buffer oracle run). Output appears atomically (temp + rename).
     """
     import mmap
 
@@ -135,12 +156,70 @@ def decompress_file(
         try:
             ok = native.HAVE_NATIVE and _stream_file_parallel(mm, fout, verify_crc, window)
             if not ok:
-                # Discard any partial optimistic output, decode whole.
+                # Discard any partial optimistic output, decode sequentially.
                 fout.seek(0)
                 fout.truncate()
-                fout.write(decompress(mm[:], verify_crc=verify_crc))
+                if native.HAVE_NATIVE:
+                    _stream_file_sequential(mm, fout, verify_crc)
+                else:
+                    fout.write(decompress(mm[:], verify_crc=verify_crc))
         finally:
             mm.close()
+
+
+_SEQ_CHUNK = 8 << 20  # compressed bytes pushed per StreamDecompressor call
+
+
+def _stream_file_sequential(mm, fout, verify_crc: bool) -> None:
+    """Bounded-memory sequential fallback, native decode_stream parity.
+
+    Chunked push decode through StreamDecompressor, chaining multi-member
+    streams. Trailing-data semantics match _bz2dec.c:424-500 (measured
+    stdlib-bz2 parity there): junk after >= 1 complete member is ignored,
+    a member that ERRORS mid-decode after >= 1 complete member is rolled
+    back to the member boundary (fout truncate), and TRUNCATION of a
+    member whose header validated raises.
+    """
+    total = len(mm)
+    pos = 0
+    members_done = 0
+    pending = b""  # unused_data carried past a member boundary
+    while True:
+        dec = StreamDecompressor(verify_crc)
+        member_start = fout.tell()
+        try:
+            if pending:
+                fout.write(dec.decompress(pending))
+                pending = b""
+            while not dec.eof and pos < total:
+                chunk = mm[pos : pos + _SEQ_CHUNK]
+                pos += len(chunk)
+                fout.write(dec.decompress(chunk))
+            if not dec.eof:
+                raise Bz2FormatError("truncated stream")
+        except (Bz2FormatError, Bz2CrcError) as e:
+            if members_done > 0 and not str(e).startswith("truncated"):
+                fout.seek(member_start)
+                fout.truncate()
+                return
+            raise
+        members_done += 1
+        # Byte-aligned remainder after the end marker: empty -> done; a
+        # valid "BZh<1-9>" -> next member; a proper PREFIX of the magic at
+        # EOF -> truncated; anything else -> ignored junk tail.
+        head = dec.unused_data[:4]
+        if len(head) < 4 and pos < total:
+            head += mm[pos : pos + 4 - len(head)]
+        if not head:
+            return
+        k = min(len(head), 3)
+        if head[:k] != b"BZh"[:k] or (
+            len(head) >= 4 and not (ord("1") <= head[3] <= ord("9"))
+        ):
+            return
+        if len(head) < 4:
+            raise Bz2FormatError("truncated stream")
+        pending = dec.unused_data
 
 
 def _read_bits_at(buf, pos: int, nbits: int) -> int:
@@ -189,6 +268,8 @@ def _stream_file_parallel(mm, fout, verify_crc: bool, window: int) -> bool:
             else:
                 if end_bit not in ends_set:
                     return False
+                if _tail_is_memberlike(mm, end_bit):
+                    return False  # defer to the sequential member-chainer
                 last_end = end_bit
             fout.write(data)
             s_crc = stream_crc_fold(s_crc, crc)

@@ -11,7 +11,7 @@ import bz2 as stdlib_bz2
 import numpy as np
 import pytest
 
-from conftest import CORPUS_KINDS, make_corpus
+from conftest import make_corpus
 
 
 def _encode_all_blocks(data: bytes, level: int, B: int):

@@ -193,3 +193,53 @@ def test_decompress_file(tmp_path, rng):
     with pytest.raises(ValueError):
         decompress_file(str(src3), str(tmp_path / "c.out"))
     assert not (tmp_path / "c.out").exists()
+
+
+def test_decompress_file_sequential_fallback_semantics(tmp_path, rng):
+    """The bounded-memory sequential fallback must match decode_stream's
+    multi-member / trailing-data semantics (_bz2dec.c:424-500)."""
+    from bz2tpu.runtime.decompressor import decompress_file
+
+    a = make_corpus(rng, "text", 250_000)
+    b = make_corpus(rng, "runs", 90_000)
+    # Multi-member (level change breaks the parallel chain) + junk tail
+    # that is NOT a magic prefix: ignored.
+    src = tmp_path / "junk.bz2"
+    src.write_bytes(
+        stdlib_bz2.compress(a, 1) + stdlib_bz2.compress(b, 9) + b"\x00garbage"
+    )
+    decompress_file(str(src), str(tmp_path / "junk.out"))
+    assert (tmp_path / "junk.out").read_bytes() == a + b
+
+    # Second member TRUNCATED mid-stream: raises (stdlib parity), nothing
+    # left behind.
+    second = stdlib_bz2.compress(b, 9)
+    src2 = tmp_path / "trunc.bz2"
+    src2.write_bytes(stdlib_bz2.compress(a, 1) + second[: len(second) // 2])
+    with pytest.raises(ValueError):
+        decompress_file(str(src2), str(tmp_path / "trunc.out"))
+    assert not (tmp_path / "trunc.out").exists()
+
+    # Second member CORRUPT: differential vs decode_stream — either both
+    # roll back to the first member, or both raise (a corruption that
+    # reads as truncation re-raises in both).
+    broken = bytearray(second)
+    broken[20] ^= 0xFF
+    src3 = tmp_path / "roll.bz2"
+    src3.write_bytes(stdlib_bz2.compress(a, 1) + bytes(broken))
+    try:
+        expect = native.decode_stream(src3.read_bytes())
+    except ValueError:
+        expect = None
+    if expect is None:
+        with pytest.raises(ValueError):
+            decompress_file(str(src3), str(tmp_path / "roll.out"))
+    else:
+        decompress_file(str(src3), str(tmp_path / "roll.out"))
+        assert (tmp_path / "roll.out").read_bytes() == expect
+
+    # A bare magic PREFIX after a complete member: truncated, raises.
+    src4 = tmp_path / "prefix.bz2"
+    src4.write_bytes(stdlib_bz2.compress(a, 1) + b"BZ")
+    with pytest.raises(ValueError):
+        decompress_file(str(src4), str(tmp_path / "prefix.out"))
