@@ -69,6 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="pre-compile pipeline shapes for --size into the persistent "
         "XLA cache (one-time; makes cold runs fast), then exit",
     )
+    p.add_argument(
+        "--export-aot", metavar="DIR",
+        help="compile the standard pipeline for --size and serialize the "
+        "executables into DIR (a shippable artifact; later runs with "
+        "BZ2TPU_AOT_DIR=DIR start with zero XLA compilation), then exit",
+    )
     return p
 
 
@@ -95,6 +101,14 @@ def main(argv: list[str] | None = None) -> int:
         from bz2tpu.utils.jaxenv import prime
 
         prime(levels=(args.size,), batch=args.parallel or None, verbose=True)
+        return 0
+    if args.export_aot:
+        from bz2tpu.utils.aot import export_artifact
+
+        n = export_artifact(
+            args.export_aot, levels=(args.size,), batch=args.parallel or None
+        )
+        print(f"exported {n} executables to {args.export_aot}", file=sys.stderr)
         return 0
     if not args.files:
         print("error: no input files (or '-' for stdin)", file=sys.stderr)

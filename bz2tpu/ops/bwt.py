@@ -1,4 +1,4 @@
-"""Burrows-Wheeler transform via rank-doubling suffix sort (JAX).
+"""Burrows-Wheeler transform via rank-quadrupling suffix sort (JAX).
 
 The reference runs a ~2,400-LoC sequential divsufsort per GPU work-item
 (reference kernel.cpp:61-2456, one bzip2 block per thread). A TPU core is a
@@ -10,26 +10,39 @@ primary path), batched over blocks with vmap and sharded over chips.
 Prefix doubling is O(n log n) worst case with NO data-dependent degradation
 — it natively answers the reference's TRBudget/lsSort escape hatch
 (kernel.cpp:2109-2142): low-entropy repetitive input simply runs its full
-log2(n) rounds.
+log_fan(n) rounds.
 
-Round structure (sorts are the cost; everything else is scans):
+Round structure (round-4 rework, A/B'd in tools/perf_probe10_bwt2.py and
+tools/perf_probe11_bwtfan.py — 1.6-1.9 s -> 0.59 s on the 8x900k batch,
+bit-identical outputs):
+
+  * NO random gathers anywhere on the hot path. ``rank[(i + k) mod n]``
+    is served by a SHIFTED IMAGE: ``ext = concat(rank, 0...)`` with
+    ``rank`` replayed at offset ``n`` (and the first 2*cap replayed at
+    ``2n``) makes ``ext[j] = rank[j mod n]`` for all ``j < 4n``, so every
+    wrapped read is one contiguous ``dynamic_slice``. The axon/TPU memory
+    system runs contiguous slices at elementwise speed while random
+    gathers are the slowest primitive measured (PERF.md round 3/4).
   * round 0 ranks THREE characters with a single 24-bit key — a 2-operand
-    unstable sort (measured ~1/3 cheaper than the 3-operand form);
-  * doubling rounds sort (rank, rank[i+k], index) — the index key breaks
-    any ties surviving past k >= n (bit-identical rotations of periodic
-    blocks) deterministically;
+    unstable sort; the two lookahead characters come from the same
+    shifted-image trick (blocks with n < 4 fall back to a 1-char round-0
+    key with k0 = 1; the refinement rounds take over).
+  * refinement rounds QUADRUPLE: sort (rank, rank[i+k], rank[i+2k],
+    rank[i+3k], index) with num_keys=5 establishes 4k-order per round —
+    half the rounds of classic doubling for ~1.1x the per-round cost
+    (probe10: quad 0.60 s vs pair-with-shifts 0.79-0.91 s). The index
+    key breaks any ties surviving past k >= n (bit-identical rotations
+    of periodic blocks) deterministically.
   * ranks are POSITION-based (rank = sorted position of the group head,
     the Larsson-Sadakane convention), which makes refinement local: a
-    group splitting only renumbers inside its own span;
+    group splitting only renumbers inside its own span.
   * SPARSE ROUNDS (opt-in, BZ2TPU_SPARSE_BWT=1): once few positions
-    remain tied (measured on real text: ~27% after 24 chars, ~8% after
-    96), tied positions are compacted into a capacity/4 (then
-    capacity/16) buffer and only they are re-sorted — the refinement
-    scatters straight into the suffix-array slot of each group span.
-    Worst-case (periodic) input simply stays in full rounds. This is the
-    right trade where sort bandwidth dominates (real HBM); on the axon
-    terminal the compaction/scatter overhead measurably loses end-to-end,
-    so the default path runs full rounds only.
+    remain tied, tied positions are compacted into a capacity/4 (then
+    capacity/16) buffer and only they are re-sorted (classic 2x doubling
+    within the compacted set). This is the right trade where sort
+    bandwidth dominates (real HBM); on the axon terminal the
+    compaction/scatter overhead measurably loses end-to-end, so the
+    default path runs full quad rounds only.
 
 All shapes are static: a block is a (capacity,) uint8 array plus a valid
 length scalar. Padding positions are assigned distinct sort keys strictly
@@ -93,22 +106,18 @@ def bwt_encode(block: jnp.ndarray, n: jnp.ndarray, *, capacity: int | None = Non
     valid = iota < n
     data = block.astype(jnp.int32)
 
-    def wrap(k):
-        # Doubling rounds guarantee k < n (loop cond), so the modulo is one
-        # conditional subtract — TPU integer division is a long expansion.
-        s = iota + k
-        return jnp.where(valid, jnp.where(s >= n, s - n, s), 0)
-
-    def wrap0(k):
-        # Round 0 only: k in {1, 2} is not bounded by n for degenerate
-        # blocks, and this runs once, so the true modulo stays.
-        return jnp.where(valid, (iota + k) % n, 0)
-
     # --- round 0: rank over 3 chars with one 24-bit key (2-operand sort).
-    # Padding gets 2^24 + i: distinct and strictly above every valid key,
-    # an invariant every re-rank preserves (padding sorts last, stays
+    # The two lookahead chars are contiguous slices of a shifted image:
+    # ext0[j] = data[j mod n] for j < n + 4 (when n >= 4). Padding keys
+    # are 2^24 + i: distinct and strictly above every valid key, an
+    # invariant every re-rank preserves (padding sorts last, stays
     # singleton, and is never active).
-    key24 = data * 65536 + data[wrap0(1)] * 256 + data[wrap0(2)]
+    ext0 = jnp.concatenate([data, jnp.zeros((4,), jnp.int32)])
+    ext0 = lax.dynamic_update_slice(ext0, data[:4], (n,))
+    d1 = lax.slice(ext0, (1,), (1 + cap,))
+    d2 = lax.slice(ext0, (2,), (2 + cap,))
+    small = n < 4  # shifted image invalid: 1-char key, rounds take over
+    key24 = jnp.where(small, data * 65536, data * 65536 + d1 * 256 + d2)
     key0 = jnp.where(valid, key24, (1 << 24) + iota)
     key_sorted, order = lax.sort((key0, iota), num_keys=1)
     head = jnp.concatenate(
@@ -116,27 +125,44 @@ def bwt_encode(block: jnp.ndarray, n: jnp.ndarray, *, capacity: int | None = Non
     )
     rank = _inverse_permute(order, _head_positions(head))
     active = jnp.sum(_tied(head).astype(jnp.int32))
+    k0 = jnp.where(small, jnp.int32(1), jnp.int32(3))
     if _SPARSE_ROUNDS:
         active_mask = jnp.zeros(cap, jnp.bool_).at[order].set(_tied(head))
     else:
         active_mask = jnp.zeros((1,), jnp.bool_)  # unused placeholder
 
-    # --- full doubling rounds (all positions) --------------------------
+    def shifted_rank(rank, k):
+        """ext[j] = rank[j mod n] for j < 4n; reads reach i + 3k < 4n."""
+        ext = jnp.concatenate([rank] + [jnp.zeros(cap, jnp.int32)] * 3)
+        ext = lax.dynamic_update_slice(ext, rank, (n,))
+        # ext[:2cap] now holds rank[j mod n] for j < 2n; replaying it at
+        # offset 2n extends coverage to j < 4n.
+        return lax.dynamic_update_slice(
+            ext, lax.slice(ext, (0,), (2 * cap,)), (2 * n,)
+        )
+
+    # --- full quadrupling rounds (all positions) ------------------------
     def full_round(state):
         rank, sa, active_mask, active, k = state
-        second = jnp.where(valid, rank[wrap(k)], -1)
-        key_r, key_s, order = lax.sort((rank, second, iota), num_keys=3)
+        ext = shifted_rank(rank, k)
+        s1 = jnp.where(valid, lax.dynamic_slice(ext, (k,), (cap,)), -1)
+        s2 = jnp.where(valid, lax.dynamic_slice(ext, (2 * k,), (cap,)), -1)
+        s3 = jnp.where(valid, lax.dynamic_slice(ext, (3 * k,), (cap,)), -1)
+        k_r, k_1, k_2, k_3, order = lax.sort((rank, s1, s2, s3, iota), num_keys=5)
         head = jnp.concatenate(
             [
                 jnp.ones((1,), jnp.bool_),
-                (key_r[1:] != key_r[:-1]) | (key_s[1:] != key_s[:-1]),
+                (k_r[1:] != k_r[:-1])
+                | (k_1[1:] != k_1[:-1])
+                | (k_2[1:] != k_2[:-1])
+                | (k_3[1:] != k_3[:-1]),
             ]
         )
         rank = _inverse_permute(order, _head_positions(head))
         tied = _tied(head)
         if _SPARSE_ROUNDS:
             active_mask = jnp.zeros(cap, jnp.bool_).at[order].set(tied)
-        return rank, order, active_mask, jnp.sum(tied.astype(jnp.int32)), k * 2
+        return rank, order, active_mask, jnp.sum(tied.astype(jnp.int32)), k * 4
 
     def full_cond(threshold):
         def cond(state):
@@ -182,7 +208,7 @@ def bwt_encode(block: jnp.ndarray, n: jnp.ndarray, *, capacity: int | None = Non
 
         return round_
 
-    state = (rank, order, active_mask, active, jnp.int32(3))
+    state = (rank, order, active_mask, active, k0)
     if _SPARSE_ROUNDS:
         # Sparse tiers win when sorts/bandwidth dominate (real HBM): on
         # text, rounds past ~24 chars touch <27% of positions (PERF.md).

@@ -104,7 +104,11 @@ def huff_pack_stage(symbols, n_sym, freqs, n_in_use, orig_ptr, used, crcs):
 
 
 def encode_blocks_staged(blocks, ns, crcs, *, mtf_chunk: int = 4096):
-    """Same result pytree as encode_blocks (plus 'meta'), via staged jits."""
+    """Same result pytree as encode_blocks (plus 'meta'), via staged jits.
+
+    Cold processes skip compilation twice over: the persistent cache
+    covers this machine, and a shipped AOT artifact (utils/aot.py,
+    BZ2TPU_AOT_DIR) pre-installs the executables on fresh machines."""
     last, orig_ptr = bwt_stage(blocks, ns)
     mtf = mtf_stage(last, ns, mtf_chunk=mtf_chunk)
     out = huff_pack_stage(

@@ -27,7 +27,21 @@ def setup_compilation_cache(path: str | None = None) -> None:
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # By default jax roots a GPU-only XLA autotune sub-cache inside the
+    # cache dir, which embeds the cache PATH into every compile-options
+    # hash — cache keys then differ across directories and machines,
+    # breaking shippable AOT artifacts (utils/aot.py; measured: identical
+    # programs keyed differently per cache dir). No GPU here: disable it
+    # so keys are path-portable.
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     _DONE = True
+    # A shipped AOT artifact (utils/aot.py) installs its prebuilt
+    # executables into the cache so every dispatch below is a hit.
+    aot_dir = os.environ.get("BZ2TPU_AOT_DIR")
+    if aot_dir and os.path.abspath(aot_dir) != os.path.abspath(cache):
+        from bz2tpu.utils import aot
+
+        aot.install(aot_dir, cache)
 
 
 def prime(levels=(9,), batch: int | None = None, verbose: bool = True) -> None:
