@@ -23,11 +23,13 @@ _WORKER = textwrap.dedent(
     """
     import os, sys, pickle
 
+    dpp = int(sys.argv[5])  # devices per process (global mesh = 2*dpp)
+
     # Must be configured before jax import (and conftest isn't loaded here).
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=2"
+        + f" --xla_force_host_platform_device_count={dpp}"
     ).strip()
     import jax
 
@@ -38,7 +40,7 @@ _WORKER = textwrap.dedent(
 
     initialize(coordinator_address=coord, num_processes=2, process_id=pid)
     assert jax.process_count() == 2, jax.process_count()
-    assert jax.device_count() == 4, jax.device_count()
+    assert jax.device_count() == 2 * dpp, jax.device_count()
 
     import numpy as np
     import jax.numpy as jnp
@@ -52,7 +54,7 @@ _WORKER = textwrap.dedent(
     level = 1
     blocks = rle1_split(data, level)
     cap = C.block_capacity(level)
-    B = 4
+    B = 2 * dpp  # one row per global device; rows past len(blocks) pad
     assert len(blocks) <= B
     batch = np.zeros((B, cap), np.uint8)
     ns = np.ones(B, np.int32)  # padded slots: length-1 dummy (valid >= 1)
@@ -101,7 +103,8 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_distributed_matches_single(tmp_path):
+@pytest.mark.parametrize("dpp", [2, 4])  # 2x2=4 and 2x4=8 global devices
+def test_two_process_distributed_matches_single(tmp_path, dpp):
     rng = np.random.default_rng(71)
     data = make_corpus(rng, "text", 250_000)
     data_path = tmp_path / "input.bin"
@@ -120,7 +123,8 @@ def test_two_process_distributed_matches_single(tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), coord, str(pid), str(data_path), str(out_path)],
+            [sys.executable, str(worker), coord, str(pid), str(data_path),
+             str(out_path), str(dpp)],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
@@ -143,18 +147,19 @@ def test_two_process_distributed_matches_single(tmp_path):
     from bz2tpu.oracle.encoder import rle1_split
     from bz2tpu.parallel.mesh import block_mesh, encode_blocks_sharded
 
+    B = 2 * dpp
     blocks = rle1_split(np.frombuffer(data, np.uint8), 1)
     cap = C.block_capacity(1)
-    batch = np.zeros((4, cap), np.uint8)
-    ns = np.ones(4, np.int32)
-    crcs = np.zeros(4, np.uint32)
+    batch = np.zeros((B, cap), np.uint8)
+    ns = np.ones(B, np.int32)
+    crcs = np.zeros(B, np.uint32)
     for i, blk in enumerate(blocks):
         batch[i, : blk.data.size] = blk.data
         ns[i] = blk.data.size
         crcs[i] = blk.crc
     import jax
 
-    mesh = block_mesh(4)
+    mesh = block_mesh(B)
     out = encode_blocks_sharded(batch, jnp.asarray(ns), jnp.asarray(crcs), mesh=mesh)
     want_words = np.asarray(jax.device_get(out["words"]))[: len(blocks)]
     want_bits = np.asarray(jax.device_get(out["total_bits"]))[: len(blocks)]

@@ -50,6 +50,26 @@ def test_graft_entry_dryrun():
     assert (np.asarray(out["total_bits"]) > 0).all()
 
 
+def test_graft_entry_dryrun_16_devices():
+    # 16 virtual devices exceed the in-process mesh (conftest pins 8), so
+    # the dryrun runs in a subprocess with its own XLA_FLAGS.
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(16)"],
+        env=env, capture_output=True, cwd="/root/repo", timeout=900,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    assert b"dryrun_multichip ok: 29 live blocks (+3 padding)" in r.stdout
+
+
 def test_runtime_uses_mesh_when_divisible(rng):
     # 8-device CPU mesh + batch 8: the driver takes the shard_map path.
     import bz2 as stdlib_bz2
