@@ -113,61 +113,88 @@ def _apply_ladder(ops: jnp.ndarray, exponent: jnp.ndarray, state: jnp.ndarray) -
 
 @functools.partial(jax.jit, static_argnames=("lanes",))
 def crc32_ranges(
-    chunk: jnp.ndarray, starts: jnp.ndarray, ends: jnp.ndarray, *, lanes: int = 512
+    chunk: jnp.ndarray, starts: jnp.ndarray, ends: jnp.ndarray, *, lanes: int = 4096
 ) -> jnp.ndarray:
     """Finalized CRC-32/BZIP2 of chunk[starts[b]:ends[b]] for each range b.
 
     Args:
       chunk: (N,) uint8 with N a multiple of `lanes` (pad with anything:
-        bytes outside every range are masked off).
+        bytes outside every range never reach a table step).
       starts/ends: (B,) int32 byte ranges, 0 <= start <= end <= N.
 
-    One lane pass over the chunk serves every range: all B range masks ride
-    the same (B, lanes) state array, so device traffic is O(B*N) table
-    gathers but only one read of the chunk.
+    Prefix-state formulation: ONE unmasked lane pass over the chunk (N
+    table gathers total, independent of B — the earlier per-range-masked
+    (B, L) design cost B*N) computes every lane's running state; the loop
+    captures the state at each range endpoint's in-lane offset as it
+    passes it. CRC state evolution is affine over GF(2), so with S(p) =
+    raw state of prefix [0, p) from init 0,
+
+        crc[s, e) from init I  =  M^(e-s)(I xor S(s)) xor S(e)
+
+    where M is the shift-one-byte operator — endpoint states alone
+    reconstruct every range CRC via the precomputed operator ladders.
     """
     n = chunk.shape[0]
+    # Largest power-of-two lane count <= `lanes` dividing n: shape-static.
+    lanes_eff = 1
+    while lanes_eff * 2 <= lanes and n % (lanes_eff * 2) == 0:
+        lanes_eff *= 2
+    lanes = lanes_eff
     assert n % lanes == 0 and n > 0
     k = n // lanes
-    b = starts.shape[0]
     tab = jnp.asarray(CRC32_TABLE)
-    lane_data = chunk.reshape(lanes, k)
-    lane_base = (jnp.arange(lanes, dtype=jnp.int32) * k)[None, :]  # (1, L)
-    starts_c = starts.astype(jnp.int32)[:, None]  # (B, 1)
-    ends_c = ends.astype(jnp.int32)[:, None]
+    # (k, L): step j reads row j contiguously (one-time transpose pass).
+    lane_data = chunk.reshape(lanes, k).T
 
-    def step(j, states):  # states: (B, L) uint32, raw (init 0) per lane
-        gidx = lane_base + j
-        mask = (gidx >= starts_c) & (gidx < ends_c)
-        byte = jnp.where(mask, lane_data[:, j][None, :], 0).astype(jnp.uint32)
+    # Endpoint positions in [0, n]: lane + in-lane offset. p == n maps to
+    # lane == lanes with off == 0, whose captured partial state is the
+    # init value 0 (correct: no partial bytes) and whose boundary prefix
+    # is the full-chunk combine below.
+    pts = jnp.concatenate([starts, ends]).astype(jnp.int32)  # (2B,)
+    pt_lane = pts // k
+    pt_off = pts % k
+    pt_lane_c = jnp.clip(pt_lane, 0, lanes - 1)
+
+    def step(j, carry):
+        states, captured = carry  # (L,) uint32, (2B,) uint32
+        # states[l] currently holds P_l(j): lane l's first j bytes from 0.
+        captured = jnp.where(pt_off == j, states[pt_lane_c], captured)
+        byte = lane_data[j].astype(jnp.uint32)
         idx = ((states >> jnp.uint32(24)) ^ byte) & jnp.uint32(0xFF)
-        return (states << jnp.uint32(8)) ^ tab[idx]
+        return (states << jnp.uint32(8)) ^ tab[idx], captured
 
-    states = jax.lax.fori_loop(
-        0, k, step, jnp.zeros((b, lanes), dtype=jnp.uint32)
+    states, captured = jax.lax.fori_loop(
+        0, k, step,
+        (jnp.zeros(lanes, jnp.uint32), jnp.zeros(pts.shape[0], jnp.uint32)),
     )
 
+    # Inclusive boundary prefixes T[m] = S((m+1) * k) via Kogge-Stone
+    # doubling on the linear recurrence T[m] = M^k(T[m-1]) xor C[m].
     rounds = int(np.log2(lanes))
-    assert 1 << rounds == lanes, "lanes must be a power of two"
     fold = jnp.asarray(_fold_ops(k, rounds))
+    T = states
     for r in range(rounds):
-        a_st = states[:, 0::2]
-        b_st = states[:, 1::2]
-        states = _apply_op(fold[r], a_st) ^ b_st
-    raw_masked = states[:, 0]  # raw0 state of 0^start || x || 0^(N-end)
+        sh = 1 << r
+        shifted = jnp.concatenate([jnp.zeros(sh, jnp.uint32), T[:-sh]])
+        T = _apply_op(fold[r], shifted) ^ T
+    # Exclusive boundary prefix at each endpoint's lane: S(lane * k).
+    s_bound = jnp.where(
+        pt_lane == 0,
+        jnp.uint32(0),
+        T[jnp.clip(pt_lane - 1, 0, lanes - 1)],
+    )
 
     # Exponents passed to the ladders are at most n (a static shape), so a
     # ladder of ceil(log2(n + 1)) rungs covers every reachable value.
     max_log = max(1, int(np.ceil(np.log2(n + 1))))
-    fwd, inv = (jnp.asarray(t) for t in _ladder_tables(max_log))
-    # Undo the trailing zero padding, then add the init-state contribution.
-    raw_x = _apply_ladder(inv, (jnp.int32(n) - ends.astype(jnp.int32)), raw_masked)
-    init_part = _apply_ladder(
-        fwd,
-        (ends - starts).astype(jnp.int32),
-        jnp.full((b,), jnp.uint32(0xFFFFFFFF)),
-    )
-    return (raw_x ^ init_part) ^ jnp.uint32(0xFFFFFFFF)
+    fwd, _ = (jnp.asarray(t) for t in _ladder_tables(max_log))
+    # S(p) = M^(p mod k)(S(lane * k)) xor P_lane(p mod k).
+    s_pts = _apply_ladder(fwd, pt_off, s_bound) ^ captured
+    b = starts.shape[0]
+    s_s, s_e = s_pts[:b], s_pts[b:]
+    span = (ends - starts).astype(jnp.int32)
+    raw = _apply_ladder(fwd, span, s_s ^ jnp.uint32(0xFFFFFFFF)) ^ s_e
+    return raw ^ jnp.uint32(0xFFFFFFFF)
 
 
 def crc32_device(data: jnp.ndarray, length: jnp.ndarray | int, *, lanes: int = 512) -> jnp.ndarray:

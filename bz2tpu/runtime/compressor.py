@@ -219,7 +219,6 @@ def compress_device_intake(
     head.write_bits(8, ord("0") + level)
     parts.append((np.frombuffer(head.getvalue(), dtype=np.uint8), head.bit_length))
 
-    s_crc = 0
     offset = 0
     crc_list: list[int] = []
     # Highly compressible input can RLE1 a whole chunk into a single
@@ -227,6 +226,23 @@ def compress_device_intake(
     # escalate the chunk window (each pow2 size is one cached compile).
     cur_chunk_n = chunk_n
     max_chunk_n = chunk_n * 8
+
+    def drain(pending):
+        """Fetch a launched batch's words (the big D2H) and emit blocks."""
+        nb, crcs_host, out = pending
+        meta = np.asarray(out["meta"])
+        words = _fetch_words_batch(
+            out["words"], [int(meta[i, 5]) for i in range(nb)]
+        )
+        for i in range(nb):
+            parts.append((words[i].astype(">u4").view(np.uint8), int(meta[i, 5])))
+            crc_list.append(int(crcs_host[i]))
+
+    # One launched-but-unfetched batch rides behind the scan: the next
+    # chunk's intake+encode is dispatched BEFORE the previous batch's
+    # words leave the device, overlapping the (slow) D2H transfer with
+    # device compute — the same async pattern as _encode_batches.
+    pending = None
     while offset < arr.size:
         take = min(cur_chunk_n, arr.size - offset)
         padded = np.zeros(cur_chunk_n, np.uint8)
@@ -245,14 +261,7 @@ def compress_device_intake(
         if more and nb > 1 and under_full:
             nb -= 1  # hold back the partial trailing block for the next chunk
         out = encode_blocks_staged(res["blocks"], res["ns"], res["crcs"])
-        meta = np.asarray(out["meta"])
         crcs_host = np.asarray(res["crcs"])
-        words = _fetch_words_batch(
-            out["words"], [int(meta[i, 5]) for i in range(nb)]
-        )
-        for i in range(nb):
-            parts.append((words[i].astype(">u4").view(np.uint8), int(meta[i, 5])))
-            crc_list.append(int(crcs_host[i]))
         offset += int(raw_lens[:nb].sum())
         if cur_chunk_n > chunk_n and nb == batch:
             # A full batch from a widened window means the data stopped
@@ -261,6 +270,11 @@ def compress_device_intake(
             # consumable bytes every launch. Drop back to the base window
             # (re-escalation is cheap: each pow2 size is a cached compile).
             cur_chunk_n = chunk_n
+        if pending is not None:
+            drain(pending)
+        pending = (nb, crcs_host, out)
+    if pending is not None:
+        drain(pending)
 
     tail = BitWriter()
     tail.write_bits(48, C.STREAM_END_MARKER)
