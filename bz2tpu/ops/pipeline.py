@@ -8,11 +8,14 @@ one-work-item-per-block kernel_close, reference kernel.cpp:3124-3159).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 from bz2tpu.ops.bwt import bwt_encode
+
+_PALLAS_BWT = os.environ.get("BZ2TPU_PALLAS_BWT", "0") == "1"
 from bz2tpu.ops.emit import pack_block
 from bz2tpu.ops.huffman import huffman_assign, max_selectors
 from bz2tpu.ops.mtf import mtf_rle2_encode
@@ -61,8 +64,25 @@ def encode_blocks(blocks, ns, crcs, *, mtf_chunk: int = 4096):
 # that and cache independently). Intermediates never leave the device.
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bwt_stage_pallas(blocks, ns, *, interpret: bool = False):
+    """BWT stage through the Pallas kernel path (ops/bwt_pallas.py).
+
+    Blocks run sequentially via lax.map — each block's bitonic stages
+    already saturate the core's VMEM/VPU, so batch vmap buys nothing
+    and would multiply the VMEM working set."""
+    from bz2tpu.ops.bwt_pallas import bwt_encode_pallas
+
+    return jax.lax.map(
+        lambda bn: bwt_encode_pallas(bn[0], bn[1], interpret=interpret),
+        (blocks, ns),
+    )
+
+
 @jax.jit
 def bwt_stage(blocks, ns):
+    if _PALLAS_BWT:
+        return bwt_stage_pallas(blocks, ns)
     return jax.vmap(bwt_encode)(blocks, ns)
 
 
