@@ -42,6 +42,30 @@ import numpy as np
 from bz2tpu.format import constants as C
 
 _KMAX = C.HUFFMAN_DECODE_MAX_ACCEPTED_LENGTH  # 20: codes longer are invalid
+_LUT_BITS = 20  # code length is a function of the top 20 window bits
+
+
+@jax.jit
+def build_len_luts(thr: jnp.ndarray) -> jnp.ndarray:
+    """(U, 21) thresholds -> (U, 2^20) int8 code-length lookup tables.
+
+    The length of a code starting at window value v23 is
+    searchsorted(thr, v23, 'right') = #(thr[k] <= v23). Every threshold
+    is a multiple of 8 for k <= 20 (thr[k] = (limit+1) << (23-k)), so
+    the length is a function of v20 = v23 >> 3 alone and the LUT is a
+    step function: one tiny scatter of the 21 boundaries + a cumsum.
+    Build cost is ~1 pass of 2^20 per UNIQUE table; the decode then
+    replaces every per-position searchsorted (a ~5-pass binary search)
+    with ONE gather (TODO #4 / VERDICT-r3 item 4 — the pass-count cut,
+    amortized across a block bucket by same-table detection in
+    runtime/device_decode.py)."""
+    u = thr.shape[0]
+    thr3 = jnp.clip(thr >> 3, 0, 1 << _LUT_BITS)
+    hist = jnp.zeros((u, (1 << _LUT_BITS) + 1), jnp.int32)
+    hist = hist.at[
+        jnp.arange(u, dtype=jnp.int32)[:, None], thr3
+    ].add(1)
+    return jnp.cumsum(hist[:, :-1], axis=1).astype(jnp.int8)
 
 
 def decode_tables_arrays(
@@ -108,6 +132,8 @@ def decode_symbol_data(
     perm: jnp.ndarray,
     eob: jnp.ndarray,
     thr: jnp.ndarray,
+    lut: jnp.ndarray | None = None,
+    lut_idx: jnp.ndarray | None = None,
     *,
     max_groups: int,
     n_bits_cap: int,
@@ -126,6 +152,10 @@ def decode_symbol_data(
       eob: scalar int32 end-of-block symbol value (alpha_size - 1).
       thr: (T, 21) int32 nondecreasing left-justified thresholds
         (decode_tables_arrays): code length at v23 = searchsorted-right.
+      lut/lut_idx: optional (U, 2^20) int8 code-length LUTs
+        (build_len_luts) + (T,) int32 row index per table slot. The
+        bucket driver shares LUT rows across same-table blocks; when
+        omitted, per-call LUTs are built from thr.
       max_groups/n_bits_cap: static (quantized) shape bounds.
 
     Returns dict with symbols (max_groups*50,) int32 (-1 past n_sym),
@@ -135,29 +165,31 @@ def decode_symbol_data(
     g_iota = jnp.arange(max_groups, dtype=jnp.int32)
     g_valid = g_iota < n_groups
     tbl = jnp.clip(selectors, 0, n_tables - 1)
+    if lut is None:
+        lut = build_len_luts(thr)
+        lut_idx = jnp.arange(n_tables, dtype=jnp.int32)
 
-    # --- 1. per-position code lengths, per table -------------------------
+    # --- 1. per-position code lengths, ALL tables in one gather ----------
     p_rel = jnp.arange(n_bits_cap, dtype=jnp.int32)
     v23 = _window23(stream, start_bit + p_rel)  # (n_bits_cap,)
+    v20 = v23 >> 3
+    lens_all = lut[lut_idx[:, None], v20[None, :]].astype(jnp.int32)  # (T, nbc)
+    # No acceptable length (malformed stream): advance 1 bit, as before.
+    lens_all = jnp.where(lens_all > _KMAX, 1, jnp.maximum(lens_all, 1))
 
-    def lens_for_table(t):
-        # Length = first k with v23 < thr[t, k]: one binary search over 21
-        # monotone thresholds (~5 passes) instead of 20 masked compares.
-        l = jnp.searchsorted(thr[t], v23, side="right").astype(jnp.int32)
-        # No threshold above v23 (malformed): advance 1 bit, as before.
-        return jnp.where(l > _KMAX, 1, jnp.maximum(l, 1))
-
-    # --- 2. per-table 50-symbol jumps via pointer doubling ---------------
-    def jump50_for_table(t):
-        j = jnp.minimum(p_rel + lens_for_table(t), n_bits_cap - 1)
-        j2 = j[j]
-        j16 = j2
-        for _ in range(3):  # j4, j8, j16
-            j16 = j16[j16]
-        j32 = j16[j16]
-        return j32[j16[j2]]  # 32 + 16 + 2 = 50 symbols forward
-
-    jump50 = jnp.stack([jump50_for_table(t) for t in range(n_tables)])
+    # --- 2. 50-symbol jumps via pointer doubling, all tables fused -------
+    # One flattened (T * nbc,) map (offsets keep each table's jumps inside
+    # its own segment): 7 composition gathers TOTAL instead of 7 per
+    # table — same elements moved, 6x fewer dispatches.
+    seg = (jnp.arange(n_tables, dtype=jnp.int32) * n_bits_cap)[:, None]
+    j_all = (jnp.minimum(p_rel[None, :] + lens_all, n_bits_cap - 1) + seg).reshape(-1)
+    j2 = j_all[j_all]
+    j16 = j2
+    for _ in range(3):  # j4, j8, j16
+        j16 = j16[j16]
+    j32 = j16[j16]
+    j50 = j32[j16[j2]]  # 32 + 16 + 2 = 50 symbols forward
+    jump50 = j50.reshape(n_tables, n_bits_cap) - seg
 
     # --- 3. serial group chain (the only sequential part) ----------------
     def chain_step(g, carry):
@@ -172,15 +204,14 @@ def decode_symbol_data(
     starts = start_bit + starts_rel
 
     # --- 4. vectorized symbol extraction at known starts -----------------
-    thr_g = thr[tbl]
+    lut_g = lut_idx[tbl]
     base_g = base[tbl]
     perm_g = perm[tbl]
-    vsearch = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))
 
     def step(i, carry):
         offs, syms, lens = carry
         v = _window23(stream, offs)  # (G,)
-        l = vsearch(thr_g, v).astype(jnp.int32)
+        l = lut[lut_g, v >> 3].astype(jnp.int32)
         matched = l <= _KMAX
         l = jnp.where(matched, jnp.maximum(l, 1), 1)
         code = v >> (23 - l)

@@ -83,11 +83,12 @@ def _parse_block_header(stream: bytes, bit_off: int) -> dict:
 
 def _decode_block_core(
     stream, start_bit, end_bit, selectors, n_groups, limit, base, perm,
-    eob, thr, init_list, orig_ptr, *, max_groups, m_sym, out_cap, n_bits_cap,
+    eob, thr, lut, lut_idx, orig_ptr, init_list,
+    *, max_groups, m_sym, out_cap, n_bits_cap,
 ):
     hd = decode_symbol_data(
         stream, start_bit, end_bit, selectors, n_groups, limit, base, perm,
-        eob, thr, max_groups=max_groups, n_bits_cap=n_bits_cap,
+        eob, thr, lut, lut_idx, max_groups=max_groups, n_bits_cap=n_bits_cap,
     )
     syms = jnp.full((m_sym,), -1, jnp.int32).at[: max_groups * C.HUFFMAN_GROUP_SIZE].set(
         hd["symbols"]
@@ -112,6 +113,8 @@ def _decode_blocks_jit(
     perms,
     eobs,
     thrs,
+    lut,
+    lut_idxs,
     init_lists,
     orig_ptrs,
     *,
@@ -121,18 +124,19 @@ def _decode_blocks_jit(
     n_bits_cap: int,
 ):
     """Batched block decode: vmap of the chain over same-shape blocks
-    (stream broadcast; all per-block inputs stacked on axis 0)."""
+    (stream and the bucket-shared length LUT broadcast; every other
+    per-block input stacked on axis 0)."""
 
-    def one(sb, eb, sl, ng, li, ba, pe, eo, th, il, op):
+    def one(sb, eb, sl, ng, li, ba, pe, eo, th, lx, il, op):
         return _decode_block_core(
-            stream, sb, eb, sl, ng, li, ba, pe, eo, th, il, op,
+            stream, sb, eb, sl, ng, li, ba, pe, eo, th, lut, lx, op, il,
             max_groups=max_groups, m_sym=m_sym, out_cap=out_cap,
             n_bits_cap=n_bits_cap,
         )
 
     return jax.vmap(one)(
         start_bits, end_bits, selectors, n_groups, limits, bases, perms,
-        eobs, thrs, init_lists, orig_ptrs,
+        eobs, thrs, lut_idxs, init_lists, orig_ptrs,
     )
 
 
@@ -216,6 +220,16 @@ def _decompress_device_inner(stream: bytes, verify_crc: bool) -> bytes | None:
             ng = np.zeros(b, np.int32)
             eo = np.zeros(b, np.int32)
             op = np.zeros(b, np.int32)
+            # Same-table detection: each distinct threshold row builds its
+            # 2^20-entry length LUT ONCE for the whole batch (repeat-padded
+            # rows and identical tables across blocks share; 8 blocks x 6
+            # tables + the zero row bounds uniques at 49 < U_CAP). Fixed
+            # U_CAP keeps one compiled program per bucket shape.
+            U_CAP = 64
+            thr_rows = np.zeros((U_CAP, 21), np.int32)
+            lut_map: dict[bytes, int] = {thr_rows[0].tobytes(): 0}
+            lidx = np.zeros((b, 6), np.int32)
+            n_unique = 1
             for r, bi in enumerate(rows):
                 p = parsed[bi]
                 sel[r, : p["selectors"].size] = p["selectors"]
@@ -225,17 +239,28 @@ def _decompress_device_inner(stream: bytes, verify_crc: bool) -> bytes | None:
                 bas[r, : base_a.shape[0]] = base_a
                 prm[r, : perm.shape[0]] = perm
                 thr_b[r, : thr_a.shape[0]] = thr_a  # unused rows stay 0
+                for t in range(6):
+                    key = thr_b[r, t].tobytes()
+                    if key not in lut_map:
+                        lut_map[key] = n_unique
+                        thr_rows[n_unique] = thr_b[r, t]
+                        n_unique += 1
+                    lidx[r, t] = lut_map[key]
                 il[r, : p["used_bytes"].size] = p["used_bytes"]
                 sb[r] = p["data_start_bit"]
                 eb[r] = p["end_bit"]
                 ng[r] = p["selectors"].size
                 eo[r] = p["alpha"] - 1
                 op[r] = p["orig_ptr"]
+            from bz2tpu.ops.huffman_dec import build_len_luts
+
+            lut = build_len_luts(jnp.asarray(thr_rows))
             decoded, n_bwts, oks = _decode_blocks_jit(
                 stream_dev,
                 jnp.asarray(sb), jnp.asarray(eb), jnp.asarray(sel),
                 jnp.asarray(ng), jnp.asarray(lim), jnp.asarray(bas),
                 jnp.asarray(prm), jnp.asarray(eo), jnp.asarray(thr_b),
+                lut, jnp.asarray(lidx),
                 jnp.asarray(il), jnp.asarray(op),
                 max_groups=gmax, m_sym=m_sym, out_cap=out_cap, n_bits_cap=nbc,
             )

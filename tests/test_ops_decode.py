@@ -185,3 +185,27 @@ def test_decompress_device_own_output():
     data = make_corpus(rng, "text", 150_000)
     comp = oracle_compress(data, level=1)
     assert decompress_device(comp) == data
+
+
+def test_build_len_luts_matches_searchsorted(rng):
+    # The LUT must reproduce searchsorted(thr, v23, 'right') for every
+    # window value, including degenerate all-zero (unused-slot) rows.
+    from bz2tpu.ops.huffman_dec import build_len_luts
+
+    data = make_corpus(rng, "text", 60_000)
+    comp = stdlib_bz2.compress(data, 1)
+    from bz2tpu import native
+
+    headers, ends = native.scan_blocks(comp)
+    hdr = _parse_block_header(comp, headers[0])
+    _, _, _, thr = decode_tables_arrays(hdr["tables"])
+    rows = np.zeros((thr.shape[0] + 1, 21), np.int32)
+    rows[1:] = thr  # row 0 = the zero row used for padded table slots
+    lut = np.asarray(build_len_luts(jnp.asarray(rows)))
+    v23 = np.concatenate(
+        [rng.integers(0, 1 << 23, 5000), np.asarray([0, 7, 8, (1 << 23) - 1])]
+    ).astype(np.int64)
+    for u in range(rows.shape[0]):
+        want = np.searchsorted(rows[u], v23, side="right")
+        got = lut[u, v23 >> 3].astype(np.int64)
+        np.testing.assert_array_equal(got, want)
