@@ -280,6 +280,22 @@ def _ratio_sweep(levels=(1, 9)) -> dict:
     return out
 
 
+def _blueprint_recorded() -> dict | None:
+    """BASELINE configs 2-3 (100 MB run + full -1..-9 sweep), recorded by
+    tools/bench_blueprint.py on the real chip. Folded in from the file
+    rather than re-run here: the two configs move ~200 MB through a
+    terminal that wedges unpredictably under sustained load, which would
+    take the whole driver bench down with them. Provenance (corpus
+    sha256, timestamps) rides in the record."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BLUEPRINT_r04.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
 def main() -> int:
     from bz2tpu.format import constants as C
     from bz2tpu.runtime.compressor import compress
@@ -402,6 +418,7 @@ def main() -> int:
             "bwt_worst_case": _worst_case(),
             "device_intake_compress": _device_intake(),
             "scaling": _scaling_table(),
+            "blueprint": _blueprint_recorded(),
         },
     }))
     return 0

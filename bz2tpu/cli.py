@@ -66,8 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace", metavar="DIR", help="write a JAX profiler trace to DIR")
     p.add_argument(
         "--prime", action="store_true",
-        help="pre-compile pipeline shapes for --size into the persistent "
-        "XLA cache (one-time; makes cold runs fast), then exit",
+        help="pre-compile pipeline shapes for --size (incl. the --backend "
+        "device intake at its base window; the 2x/4x/8x escalation windows "
+        "ultra-compressible streams can reach still compile on first use) "
+        "into the persistent XLA cache (one-time; makes cold runs fast), "
+        "then exit",
     )
     p.add_argument(
         "--export-aot", metavar="DIR",

@@ -85,5 +85,16 @@ def prime(levels=(9,), batch: int | None = None, verbose: bool = True) -> None:
             n = w * C.BLOCK_SIZE_BASE * level - 4096
             data = np.random.default_rng(0).integers(0, 256, n, dtype=np.uint8)
             compress(data, level=level, parallel=b)
+        # The --backend device intake program at its BASE chunk window.
+        # NOT primed: the 2x/4x/8x escalation windows that highly
+        # compressible streams can reach (compressor.py window widening)
+        # — each is one more multi-minute compile, paid once on first
+        # escalation and cached after.
+        from bz2tpu.runtime.compressor import compress_device_intake
+
+        data = np.random.default_rng(0).integers(
+            0, 256, C.BLOCK_SIZE_BASE * level, dtype=np.uint8
+        )
+        compress_device_intake(data, level=level, parallel=b)
         if verbose:
             print(f"primed level {level} (batch 1 + {b}): {time.time() - t0:.1f}s")

@@ -1,0 +1,136 @@
+"""Blueprint-scale benches (BASELINE configs 2-3), recorded to a file.
+
+Runs the two configurations the 14.4 MB driver bench cannot afford to
+re-run every round on this terminal (the box wedges unpredictably under
+sustained device load — PERF.md round 1/2 soak notes), and writes
+BLUEPRINT_r04.json at the repo root. bench.py folds the recorded results
+into its detail blob with this provenance.
+
+  config 2: enwik8-class >=100 MB single-chip steady-state compress +
+            decompress (corpus: bench.make_mixed_corpus — 40% on-image
+            real text, 15% ELF, 20% Markov, 15% runs, 10% random).
+  config 3: full -1..-9 level sweep, >=10 MB per level, ratio AND
+            throughput, stock libbz2 measured on the same data.
+
+Every compressed stream is round-trip-verified through stdlib bz2
+before any number is written. Usage:
+
+  python tools/bench_blueprint.py [--skip-100mb] [--levels 1,2,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import bz2 as stdlib_bz2
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import BATCH, make_mixed_corpus  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "BLUEPRINT_r04.json")
+
+
+def _now() -> str:
+    return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+
+
+def level_sweep(levels) -> dict:
+    from bz2tpu.format import constants as C
+    from bz2tpu.runtime.compressor import compress
+
+    rows = {}
+    for lv in levels:
+        n = max(10_000_000, 2 * BATCH * C.BLOCK_SIZE_BASE * lv)
+        data = make_mixed_corpus(n)
+        try:
+            compress(data[: n // 4], level=lv, parallel=BATCH)  # warm shapes
+            t0 = time.time()
+            ours = compress(data, level=lv, parallel=BATCH)
+            dt = time.time() - t0
+            if stdlib_bz2.decompress(ours) != data:
+                rows[str(lv)] = {"error": "round-trip mismatch"}
+                continue
+            t0 = time.time()
+            stock = stdlib_bz2.compress(data, lv)
+            stock_dt = time.time() - t0
+            rows[str(lv)] = {
+                "input_mb": round(n / 1e6, 1),
+                "mb_s": round(n / dt / 1e6, 3),
+                "stock_mb_s": round(n / stock_dt / 1e6, 3),
+                "ratio": round(len(ours) / n, 5),
+                "stock_ratio": round(len(stock) / n, 5),
+            }
+            print(f"level {lv}: {rows[str(lv)]}", file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001 — record partial progress
+            rows[str(lv)] = {"error": str(e)[:200]}
+    return rows
+
+
+def blueprint_100mb(nbytes: int = 100_000_000) -> dict:
+    from bz2tpu.runtime.compressor import compress
+    from bz2tpu.runtime.decompressor import decompress as our_decompress
+
+    data = make_mixed_corpus(nbytes)
+    sha = hashlib.sha256(data).hexdigest()
+    out: dict = {"input_mb": round(nbytes / 1e6, 1), "corpus_sha256": sha}
+    compress(data[: nbytes // 50], level=9, parallel=BATCH)  # warm shapes
+    t0 = time.time()
+    ours = compress(data, level=9, parallel=BATCH)
+    out["compress_mb_s"] = round(nbytes / (time.time() - t0) / 1e6, 3)
+    out["ratio"] = round(len(ours) / nbytes, 5)
+    if stdlib_bz2.decompress(ours) != data:
+        return {"error": "round-trip mismatch", **out}
+    t0 = time.time()
+    stock = stdlib_bz2.compress(data, 9)
+    out["stock_compress_mb_s"] = round(nbytes / (time.time() - t0) / 1e6, 3)
+    out["stock_ratio"] = round(len(stock) / nbytes, 5)
+    t0 = time.time()
+    got = our_decompress(ours)
+    out["decompress_mb_s"] = round(nbytes / (time.time() - t0) / 1e6, 3)
+    if got != data:
+        return {"error": "our-decompress mismatch", **out}
+    t0 = time.time()
+    stdlib_bz2.decompress(ours)
+    out["stock_decompress_mb_s"] = round(nbytes / (time.time() - t0) / 1e6, 3)
+    print(f"100mb: {out}", file=sys.stderr, flush=True)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-100mb", action="store_true")
+    ap.add_argument("--levels", default="1,2,3,4,5,6,7,8,9")
+    args = ap.parse_args()
+    levels = [int(x) for x in args.levels.split(",") if x]
+
+    rec: dict = {}
+    if os.path.exists(OUT):  # accumulate across partial runs
+        with open(OUT) as f:
+            rec = json.load(f)
+    rec.setdefault("note", (
+        "recorded by tools/bench_blueprint.py on the one real chip; "
+        "re-run the tool to refresh (the box's speed swings ~2x between "
+        "hours, PERF.md round 2)"
+    ))
+    if levels:
+        sweep = rec.get("level_sweep", {})
+        sweep.update(level_sweep(levels))
+        rec["level_sweep"] = sweep
+        rec["level_sweep_recorded"] = _now()
+    if not args.skip_100mb:
+        rec["config2_100mb"] = blueprint_100mb()
+        rec["config2_recorded"] = _now()
+    with open(OUT, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
