@@ -93,19 +93,23 @@ def main(argv: list[str] | None = None) -> int:
     if not 1 <= args.size <= 9:
         print("error: --size must be 1..9", file=sys.stderr)
         return 2
-    if args.prime:
-        # One prime pass per process, regardless of how many files were
-        # listed (they are not processed — prime is compile-and-exit).
+    if args.prime and args.export_aot:
+        print("error: --prime and --export-aot are exclusive", file=sys.stderr)
+        return 2
+    if args.prime or args.export_aot:
+        # One pass per process, regardless of how many files were listed
+        # (they are not processed — both modes compile and exit).
         if args.files:
+            mode = "--prime" if args.prime else "--export-aot"
             print(
-                "note: --prime compiles and exits; listed files ignored",
+                f"note: {mode} compiles and exits; listed files ignored",
                 file=sys.stderr,
             )
-        from bz2tpu.utils.jaxenv import prime
+        if args.prime:
+            from bz2tpu.utils.jaxenv import prime
 
-        prime(levels=(args.size,), batch=args.parallel or None, verbose=True)
-        return 0
-    if args.export_aot:
+            prime(levels=(args.size,), batch=args.parallel or None, verbose=True)
+            return 0
         from bz2tpu.utils.aot import export_artifact
 
         n = export_artifact(

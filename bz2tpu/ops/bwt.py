@@ -87,6 +87,28 @@ def _tied(head: jnp.ndarray) -> jnp.ndarray:
     return ~head | ~nxt
 
 
+def round0_keys(data: jnp.ndarray, n: jnp.ndarray, cap: int):
+    """Round-0 sort keys: 3 chars in one 24-bit key (padding sorts last).
+
+    Shared by the XLA path below and ops/bwt_pallas.py — the two paths
+    are contractually bit-identical, so the key construction must have
+    exactly one definition. Returns (key0, k0): the (cap,) int32 keys
+    and the established order depth (3, or 1 when n < 4 disables the
+    shifted image).
+    """
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    valid = iota < n
+    ext0 = jnp.concatenate([data, jnp.zeros((4,), jnp.int32)])
+    ext0 = lax.dynamic_update_slice(ext0, data[:4], (n,))
+    d1 = lax.slice(ext0, (1,), (1 + cap,))
+    d2 = lax.slice(ext0, (2,), (2 + cap,))
+    small = n < 4  # shifted image invalid: 1-char key, rounds take over
+    key24 = jnp.where(small, data * 65536, data * 65536 + d1 * 256 + d2)
+    key0 = jnp.where(valid, key24, (1 << 24) + iota)
+    k0 = jnp.where(small, jnp.int32(1), jnp.int32(3))
+    return key0, k0
+
+
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def bwt_encode(block: jnp.ndarray, n: jnp.ndarray, *, capacity: int | None = None):
     """BWT of the rotations of ``block[:n]``.
@@ -112,20 +134,13 @@ def bwt_encode(block: jnp.ndarray, n: jnp.ndarray, *, capacity: int | None = Non
     # are 2^24 + i: distinct and strictly above every valid key, an
     # invariant every re-rank preserves (padding sorts last, stays
     # singleton, and is never active).
-    ext0 = jnp.concatenate([data, jnp.zeros((4,), jnp.int32)])
-    ext0 = lax.dynamic_update_slice(ext0, data[:4], (n,))
-    d1 = lax.slice(ext0, (1,), (1 + cap,))
-    d2 = lax.slice(ext0, (2,), (2 + cap,))
-    small = n < 4  # shifted image invalid: 1-char key, rounds take over
-    key24 = jnp.where(small, data * 65536, data * 65536 + d1 * 256 + d2)
-    key0 = jnp.where(valid, key24, (1 << 24) + iota)
+    key0, k0 = round0_keys(data, n, cap)
     key_sorted, order = lax.sort((key0, iota), num_keys=1)
     head = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), key_sorted[1:] != key_sorted[:-1]]
     )
     rank = _inverse_permute(order, _head_positions(head))
     active = jnp.sum(_tied(head).astype(jnp.int32))
-    k0 = jnp.where(small, jnp.int32(1), jnp.int32(3))
     if _SPARSE_ROUNDS:
         active_mask = jnp.zeros(cap, jnp.bool_).at[order].set(_tied(head))
     else:

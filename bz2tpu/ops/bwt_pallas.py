@@ -300,6 +300,8 @@ def bwt_encode_pallas(
     working set is 3 arrays, which fits VMEM at the 900k block size
     where the XLA path's quad round (5 sort operands) would not.
     """
+    from bz2tpu.ops.bwt import round0_keys
+
     if capacity is None:
         capacity = block.shape[-1]
     cap = capacity
@@ -307,19 +309,12 @@ def bwt_encode_pallas(
     valid = iota < n
     data = block.astype(jnp.int32)
 
-    # Round 0: identical 3-char key construction to ops/bwt.bwt_encode.
-    ext0 = jnp.concatenate([data, jnp.zeros((4,), jnp.int32)])
-    ext0 = lax.dynamic_update_slice(ext0, data[:4], (n,))
-    d1 = lax.slice(ext0, (1,), (1 + cap,))
-    d2 = lax.slice(ext0, (2,), (2 + cap,))
-    small = n < 4
-    key24 = jnp.where(small, data * 65536, data * 65536 + d1 * 256 + d2)
-    key0 = jnp.where(valid, key24, (1 << 24) + iota)
-
+    # Round 0: the SAME key construction as ops/bwt.bwt_encode (shared
+    # helper — the two paths are contractually bit-identical).
+    key0, k0 = round0_keys(data, n, cap)
     key_sorted, order = bitonic_sort_pallas((key0, iota), interpret=interpret)
     pos, active = rerank_pallas((key_sorted,), interpret=interpret)
     (_, rank) = bitonic_sort_pallas((order, pos), interpret=interpret)
-    k0 = jnp.where(small, jnp.int32(1), jnp.int32(3))
 
     def round_(state):
         rank, sa, active, k = state

@@ -61,11 +61,13 @@ def build_len_luts(thr: jnp.ndarray) -> jnp.ndarray:
     runtime/device_decode.py)."""
     u = thr.shape[0]
     thr3 = jnp.clip(thr >> 3, 0, 1 << _LUT_BITS)
-    hist = jnp.zeros((u, (1 << _LUT_BITS) + 1), jnp.int32)
+    # int8 throughout: counts max out at 21, and int32 intermediates
+    # would cost ~268 MB of device scratch at the decoder's U_CAP=64.
+    hist = jnp.zeros((u, (1 << _LUT_BITS) + 1), jnp.int8)
     hist = hist.at[
         jnp.arange(u, dtype=jnp.int32)[:, None], thr3
-    ].add(1)
-    return jnp.cumsum(hist[:, :-1], axis=1).astype(jnp.int8)
+    ].add(jnp.int8(1))
+    return jnp.cumsum(hist[:, :-1], axis=1, dtype=jnp.int8)
 
 
 def decode_tables_arrays(

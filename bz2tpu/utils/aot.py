@@ -74,12 +74,20 @@ def export_artifact(
     from bz2tpu.utils import jaxenv
 
     os.makedirs(path, exist_ok=True)
-    # Re-point the persistent cache at the artifact for the prime pass.
-    jaxenv.setup_compilation_cache(path)
+    # Configure the NORMAL cache first (so prev_dir below is the real
+    # machine cache, not the artifact — setup is one-shot per process,
+    # and calling it with `path` would leave the process permanently
+    # redirected; it would also fire the BZ2TPU_AOT_DIR install hook
+    # INTO the artifact being exported). Then re-point at the artifact
+    # for the prime pass only.
+    jaxenv.setup_compilation_cache()
     prev_dir = jax.config.jax_compilation_cache_dir
     prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # Drop in-memory executables: a warm process would otherwise satisfy
+    # the prime from its jit cache and write NOTHING into the artifact.
+    jax.clear_caches()
     try:
         jaxenv.prime(levels=levels, batch=batch, verbose=verbose)
     finally:
