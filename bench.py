@@ -58,15 +58,29 @@ def _real_text(nbytes: int) -> bytes:
         with open(lic, "rb") as f:
             pools.append(f.read())
     src = []
+    size = 0
+    seen: set[str] = set()
+    # Widening pool ladder: numpy/jax sources first (stable across small
+    # corpora, keeps the 14.4 MB bench corpus identical to earlier
+    # rounds), then every site-packages .py (~490 MB on-image) so even
+    # the 100 MB blueprint corpus is genuine English/source text. Paths
+    # dedupe so nothing repeats (repetition flatters compressors).
     for pat in ("/opt/venv/lib/python3*/site-packages/numpy/**/*.py",
-                "/opt/venv/lib/python3*/site-packages/jax/_src/*.py"):
+                "/opt/venv/lib/python3*/site-packages/jax/_src/*.py",
+                "/opt/venv/lib/python3*/site-packages/**/*.py"):
+        if size > nbytes:
+            break
         for p in sorted(glob.glob(pat, recursive=True)):
+            if p in seen:
+                continue
+            seen.add(p)
             try:
                 with open(p, "rb") as f:
                     src.append(f.read())
             except OSError:
                 continue
-            if sum(map(len, src)) > nbytes:
+            size += len(src[-1])
+            if size > nbytes:
                 break
     pools.append(b"".join(src))
     blob = b"".join(pools)
