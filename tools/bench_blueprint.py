@@ -102,9 +102,56 @@ def blueprint_100mb(nbytes: int = 100_000_000) -> dict:
     return out
 
 
+def blueprint_1gb_stream() -> dict:
+    """Config 4's single-chip analog: 1 GB through the bounded-memory
+    streaming compressor (multi-host hardware does not exist here; the
+    multi-host path itself is validated by the 2-process cluster tests)."""
+    import zlib
+
+    from bz2tpu.runtime.stream import StreamCompressor
+
+    class _CountSink:
+        def __init__(self):
+            self.n = 0
+
+        def write(self, b):
+            self.n += len(b)
+
+    n_total = 1_000_000_000
+    piece = make_mixed_corpus(50_000_000)  # 50 MB window, rotated per pass
+    sink = _CountSink()
+    sc = StreamCompressor(sink, level=9, parallel=BATCH)
+    crc = 0
+    t0 = time.time()
+    fed = 0
+    while fed < n_total:
+        # Rotate the window so consecutive 50 MB spans differ (no free
+        # repetition for the compressor to exploit).
+        k = ((fed // len(piece)) * 4099) % len(piece)
+        chunk = piece[k:] + piece[:k]
+        take = min(len(chunk), n_total - fed)
+        chunk = chunk[:take]
+        crc = zlib.crc32(chunk, crc)
+        sc.write(chunk)
+        fed += take
+        print(f"  1gb: {fed/1e6:.0f} MB in {time.time()-t0:.0f}s",
+              file=sys.stderr, flush=True)
+    sc.close()
+    dt = time.time() - t0
+    return {
+        "input_gb": round(n_total / 1e9, 2),
+        "compress_mb_s": round(n_total / dt / 1e6, 3),
+        "ratio": round(sink.n / n_total, 5),
+        "input_crc32": crc,
+        "mode": "bounded-memory StreamCompressor, single chip",
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-100mb", action="store_true")
+    ap.add_argument("--gb1", action="store_true",
+                    help="also run the 1 GB streaming config (long)")
     ap.add_argument("--levels", default="1,2,3,4,5,6,7,8,9")
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",") if x]
@@ -126,6 +173,9 @@ def main() -> int:
     if not args.skip_100mb:
         rec["config2_100mb"] = blueprint_100mb()
         rec["config2_recorded"] = _now()
+    if args.gb1:
+        rec["config4_1gb_stream"] = blueprint_1gb_stream()
+        rec["config4_recorded"] = _now()
     with open(OUT, "w") as f:
         json.dump(rec, f, indent=1)
     print(json.dumps(rec))
