@@ -41,6 +41,7 @@ def __getattr__(name):
         bz2tpu.decompress_device(stream)  -> bytes  (decode on the TPU)
         bz2tpu.StreamCompressor           push-style, checkpoint/resume
         bz2tpu.StreamDecompressor         push-style incremental decode
+        bz2tpu.open / bz2tpu.BZ2File      stdlib-bz2-parity file objects
     """
     if name == "compress":
         from bz2tpu.runtime.compressor import compress
@@ -66,4 +67,12 @@ def __getattr__(name):
         from bz2tpu.runtime.decompressor import StreamDecompressor
 
         return StreamDecompressor
+    if name == "BZ2File":
+        from bz2tpu.runtime.fileobj import BZ2File
+
+        return BZ2File
+    if name == "open":
+        from bz2tpu.runtime.fileobj import bz2_open
+
+        return bz2_open
     raise AttributeError(f"module 'bz2tpu' has no attribute {name!r}")
