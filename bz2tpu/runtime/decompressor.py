@@ -45,7 +45,16 @@ def _tail_is_memberlike(buf, end_bit: int) -> bool:
 
 
 def _decompress_parallel(stream: bytes, verify_crc: bool) -> bytes | None:
-    """Block-parallel decode; None means 'use the sequential path'."""
+    """Block-parallel decode (multi-member aware); None = 'go sequential'.
+
+    Members (concatenated .bz2 streams, e.g. pbzip2 output) chain through
+    the same exact verification as blocks: a member's last block must end
+    at a scanned end marker, its stream CRC must fold, and the next member
+    must start at the very next byte. Any irregularity — spurious markers,
+    empty members (no block header follows their magic), truncated magic,
+    junk BETWEEN members — defers to the sequential decoder, which owns
+    the error/trailing-data semantics.
+    """
     if len(stream) < 4 or stream[:3] != b"BZh":
         return None  # sequential path raises the proper format error
     headers, ends = native.scan_blocks(stream)
@@ -53,18 +62,31 @@ def _decompress_parallel(stream: bytes, verify_crc: bool) -> bytes | None:
         return None
     if headers[0] != 32:  # first block follows BZh<level> immediately
         return None
-    level = stream[3] - ord("0")
-    if not 1 <= level <= 9:
+    ends_set = set(ends)
+
+    # Member starts: byte-aligned "BZh<1-9>" magic directly followed by a
+    # scanned block header (level can differ per member). False positives
+    # (a magic-like byte string inside block data coinciding with a
+    # spurious header match) break the chain checks below -> sequential.
+    mstarts: list[tuple[int, int]] = []  # (first header bit, level)
+    for h in headers:
+        if h >= 32 and (h - 32) % 8 == 0:
+            tag = stream[(h - 32) // 8 : (h - 32) // 8 + 4]
+            if tag[:3] == b"BZh" and ord("1") <= tag[3] <= ord("9"):
+                mstarts.append((h, tag[3] - ord("0")))
+    if not mstarts or mstarts[0][0] != 32:
         return None
+    start_bits = [s for s, _ in mstarts]
+
+    import bisect
 
     def decode_one(off):
+        level = mstarts[bisect.bisect_right(start_bits, off) - 1][1]
         try:
             return native.decode_block_at(stream, off, level, verify_crc)
         except ValueError:
-            # Spurious marker match, or a stream this optimistic path can't
-            # handle (e.g. concatenated streams at different levels) — the
-            # caller falls back to sequential decode, which raises properly
-            # if the stream is genuinely bad.
+            # Spurious marker match — the caller falls back to sequential
+            # decode, which raises properly if the stream is genuinely bad.
             return None
 
     workers = min(len(headers), os.cpu_count() or 1)
@@ -76,28 +98,50 @@ def _decompress_parallel(stream: bytes, verify_crc: bool) -> bytes | None:
         # patterns; correctness first (a salvage of partial optimistic
         # output would have to re-verify the chain anyway).
         return None
-    # Verify the chain: block i must end exactly at block i+1's marker, and
-    # the last block at a scanned end marker.
-    for i, (_, _, end_bit) in enumerate(results[:-1]):
-        if end_bit != headers[i + 1]:
-            return None
-    last_end = results[-1][2]
-    if last_end not in ends:
-        return None
-    if _tail_is_memberlike(stream, last_end):
-        return None  # possible extra member / truncated magic: sequential
-    if verify_crc:
+
+    out = []
+    i, mi, n = 0, 0, len(headers)
+    while i < n:
+        if mi >= len(mstarts) or headers[i] != mstarts[mi][0]:
+            return None  # member bookkeeping out of sync: sequential
         s_crc = 0
-        for _, crc, _ in results:
+        while True:  # blocks of member mi
+            data, crc, end_bit = results[i]
+            out.append(data)
             s_crc = stream_crc_fold(s_crc, crc)
-        # Stored stream CRC: 32 bits after the end marker.
-        pos = last_end + 48
+            i += 1
+            if i < n and headers[i] == end_bit:
+                continue
+            break
+        # The member's last block must land exactly on an end marker.
+        if end_bit not in ends_set:
+            return None
+        pos = end_bit + 48
         if pos + 32 > len(stream) * 8:
             raise Bz2FormatError("truncated stream CRC")
-        stored = _read_bits_at(stream, pos, 32)
-        if stored != s_crc:
-            raise Bz2CrcError(f"stream CRC mismatch: {stored:#x} != {s_crc:#x}")
-    return b"".join(r[0] for r in results)
+        if verify_crc:
+            stored = _read_bits_at(stream, pos, 32)
+            if stored != s_crc:
+                if mi > 0:
+                    # Sequential semantics for a bad LATER member are
+                    # rollback-to-boundary, not raise — defer to it.
+                    return None
+                raise Bz2CrcError(
+                    f"stream CRC mismatch: {stored:#x} != {s_crc:#x}"
+                )
+        mi += 1
+        if i < n:
+            # Next member must begin at the very next byte boundary.
+            next_start = ((pos + 32 + 7) // 8) * 8 + 32
+            if headers[i] != next_start:
+                return None
+        elif _tail_is_memberlike(stream, end_bit):
+            # Truncated magic or an empty member after the last block:
+            # the sequential decoder knows those semantics.
+            return None
+        # Non-magic junk after the final member is ignorable (sequential
+        # decode_stream parity).
+    return b"".join(out)
 
 
 def recover(stream: bytes, verify_crc: bool = True) -> tuple[bytes, int, int]:
@@ -232,6 +276,8 @@ def _read_bits_at(buf, pos: int, nbits: int) -> int:
 def _stream_file_parallel(mm, fout, verify_crc: bool, window: int) -> bool:
     """Ordered sliding-window block decode to a file; False = use fallback.
 
+    Multi-member aware with the same chain rules as _decompress_parallel
+    (members verify per-member stream CRCs and must abut byte-exactly).
     NOTE: the truncated output left behind on False is discarded by the
     caller's temp-file handling (decode restarts via the fallback path)."""
     if len(mm) < 4 or mm[:3] != b"BZh" or not (ord("1") <= mm[3] <= ord("9")):
@@ -239,18 +285,31 @@ def _stream_file_parallel(mm, fout, verify_crc: bool, window: int) -> bool:
     headers, ends = native.scan_blocks(mm)
     if not headers or not ends or headers[0] != 32:
         return False
-    level = mm[3] - ord("0")
     ends_set = set(ends)
     n = len(headers)
 
+    mstarts: list[tuple[int, int]] = []  # (first header bit, level)
+    for h in headers:
+        if h >= 32 and (h - 32) % 8 == 0:
+            tag = bytes(mm[(h - 32) // 8 : (h - 32) // 8 + 4])
+            if tag[:3] == b"BZh" and ord("1") <= tag[3] <= ord("9"):
+                mstarts.append((h, tag[3] - ord("0")))
+    if not mstarts or mstarts[0][0] != 32:
+        return False
+    start_bits = [s for s, _ in mstarts]
+    starts_set = set(start_bits)
+
+    import bisect
+
     def decode_one(off):
+        level = mstarts[bisect.bisect_right(start_bits, off) - 1][1]
         try:
             return native.decode_block_at(mm, off, level, verify_crc)
         except ValueError:
             return None
 
     s_crc = 0
-    last_end = None
+    member_idx = 0
     with ThreadPoolExecutor(max_workers=min(window, os.cpu_count() or 1)) as pool:
         futures = []
         next_submit = 0
@@ -262,23 +321,33 @@ def _stream_file_parallel(mm, fout, verify_crc: bool, window: int) -> bool:
             if res is None:
                 return False
             data, crc, end_bit = res
-            if done + 1 < n:
-                if end_bit != headers[done + 1]:
-                    return False
-            else:
-                if end_bit not in ends_set:
-                    return False
-                if _tail_is_memberlike(mm, end_bit):
-                    return False  # defer to the sequential member-chainer
-                last_end = end_bit
-            fout.write(data)
             s_crc = stream_crc_fold(s_crc, crc)
-    if verify_crc:
-        if last_end is None or last_end + 48 + 32 > len(mm) * 8:
-            raise Bz2FormatError("truncated stream CRC")
-        stored = _read_bits_at(mm, last_end + 48, 32)
-        if stored != s_crc:
-            raise Bz2CrcError(f"stream CRC mismatch: {stored:#x} != {s_crc:#x}")
+            if done + 1 < n and end_bit == headers[done + 1]:
+                fout.write(data)
+                continue  # next block of the same member
+            # Member boundary: end marker + stream CRC, next member abuts.
+            if end_bit not in ends_set:
+                return False
+            pos_crc = end_bit + 48
+            if pos_crc + 32 > len(mm) * 8:
+                raise Bz2FormatError("truncated stream CRC")
+            if verify_crc:
+                stored = _read_bits_at(mm, pos_crc, 32)
+                if stored != s_crc:
+                    if member_idx > 0:
+                        return False  # sequential owns later-member rollback
+                    raise Bz2CrcError(
+                        f"stream CRC mismatch: {stored:#x} != {s_crc:#x}"
+                    )
+            fout.write(data)
+            s_crc = 0
+            member_idx += 1
+            if done + 1 < n:
+                nxt = ((pos_crc + 32 + 7) // 8) * 8 + 32
+                if headers[done + 1] != nxt or nxt not in starts_set:
+                    return False
+            elif _tail_is_memberlike(mm, end_bit):
+                return False  # defer to the sequential member-chainer
     return True
 
 

@@ -243,3 +243,59 @@ def test_decompress_file_sequential_fallback_semantics(tmp_path, rng):
     src4.write_bytes(stdlib_bz2.compress(a, 1) + b"BZ")
     with pytest.raises(ValueError):
         decompress_file(str(src4), str(tmp_path / "prefix.out"))
+
+
+def test_parallel_decode_multimember(rng):
+    # The optimistic block-parallel path now chains MEMBERS too (pbzip2-
+    # style concatenated streams, mixed levels), with per-member stream
+    # CRC folds; equality against stdlib on the same bytes.
+    from bz2tpu.runtime.decompressor import _decompress_parallel
+
+    a = make_corpus(rng, "text", 500_000)
+    b = make_corpus(rng, "runs", 300_000)
+    c = make_corpus(rng, "random", 120_000)
+    comp = (
+        stdlib_bz2.compress(a, 1)
+        + stdlib_bz2.compress(b, 9)
+        + stdlib_bz2.compress(c, 2)
+    )
+    assert _decompress_parallel(comp, True) == a + b + c
+    assert decompress(comp) == a + b + c
+    # Trailing junk after the final member is ignored on the fast path
+    # (sequential decode_stream parity) unless it is magic-like.
+    assert _decompress_parallel(comp + b"\x00junk", True) == a + b + c
+    # Truncated magic / empty member tails defer to sequential (None).
+    assert _decompress_parallel(comp + b"BZh9", True) is None
+    # A corrupted middle member must not pass.
+    bad = bytearray(comp)
+    mid = len(stdlib_bz2.compress(a, 1)) + 200
+    for off in range(mid, mid + 1500, 200):
+        bad[off] ^= 0x08
+    try:
+        assert _decompress_parallel(bytes(bad), True) is None
+    except ValueError:
+        pass
+
+
+def test_parallel_decode_multimember_pbzip2_style(rng):
+    # Many small same-level members (what pbzip2 emits: one member per
+    # worker chunk) — the common real-world multi-member shape.
+    from bz2tpu.runtime.decompressor import _decompress_parallel
+
+    parts = [make_corpus(rng, "text", 150_000 + 7 * i) for i in range(6)]
+    comp = b"".join(stdlib_bz2.compress(p, 1) for p in parts)
+    assert _decompress_parallel(comp, True) == b"".join(parts)
+    assert decompress(comp) == b"".join(parts)
+
+
+def test_decompress_file_multimember_parallel(tmp_path, rng):
+    # decompress_file's sliding-window path also chains members now.
+    from bz2tpu.runtime.decompressor import decompress_file
+
+    parts = [make_corpus(rng, "text", 200_000 + 13 * i) for i in range(4)]
+    comp = b"".join(stdlib_bz2.compress(p, 1) for p in parts)
+    src = tmp_path / "in.bz2"
+    dst = tmp_path / "out.bin"
+    src.write_bytes(comp)
+    decompress_file(str(src), str(dst))
+    assert dst.read_bytes() == b"".join(parts)
