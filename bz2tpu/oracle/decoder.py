@@ -20,8 +20,10 @@ from bz2tpu.format.bitio import BitReader
 from bz2tpu.format.crc32 import crc32, stream_crc_fold
 
 
-class Bz2FormatError(ValueError):
-    pass
+class Bz2FormatError(ValueError, OSError):
+    """Malformed stream. Subclasses BOTH ValueError (this package's
+    historical contract) and OSError (what stdlib bz2 raises, so code
+    migrated from `import bz2` keeps catching corruption errors)."""
 
 
 class Bz2CrcError(Bz2FormatError):

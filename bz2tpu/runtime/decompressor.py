@@ -44,6 +44,28 @@ def _tail_is_memberlike(buf, end_bit: int) -> bool:
     return len(tail) < 4 or ord("1") <= tail[3] <= ord("9")
 
 
+def _member_starts(buf, headers) -> tuple[list[tuple[int, int]], list[int]]:
+    """Member starts: byte-aligned "BZh<1-9>" magics directly followed by
+    a scanned block header (levels can differ per member). False positives
+    (a magic-like byte string inside block data coinciding with a spurious
+    header match) break the callers' chain checks -> sequential fallback.
+    Returns (mstarts [(first header bit, level)], start_bits)."""
+    mstarts: list[tuple[int, int]] = []
+    for h in headers:
+        if h >= 32 and (h - 32) % 8 == 0:
+            tag = bytes(buf[(h - 32) // 8 : (h - 32) // 8 + 4])
+            if tag[:3] == b"BZh" and ord("1") <= tag[3] <= ord("9"):
+                mstarts.append((h, tag[3] - ord("0")))
+    return mstarts, [s for s, _ in mstarts]
+
+
+def _level_at(mstarts, start_bits, off: int) -> int:
+    """Level of the member containing bit offset ``off``."""
+    import bisect
+
+    return mstarts[bisect.bisect_right(start_bits, off) - 1][1]
+
+
 def _decompress_parallel(stream: bytes, verify_crc: bool) -> bytes | None:
     """Block-parallel decode (multi-member aware); None = 'go sequential'.
 
@@ -63,27 +85,15 @@ def _decompress_parallel(stream: bytes, verify_crc: bool) -> bytes | None:
     if headers[0] != 32:  # first block follows BZh<level> immediately
         return None
     ends_set = set(ends)
-
-    # Member starts: byte-aligned "BZh<1-9>" magic directly followed by a
-    # scanned block header (level can differ per member). False positives
-    # (a magic-like byte string inside block data coinciding with a
-    # spurious header match) break the chain checks below -> sequential.
-    mstarts: list[tuple[int, int]] = []  # (first header bit, level)
-    for h in headers:
-        if h >= 32 and (h - 32) % 8 == 0:
-            tag = stream[(h - 32) // 8 : (h - 32) // 8 + 4]
-            if tag[:3] == b"BZh" and ord("1") <= tag[3] <= ord("9"):
-                mstarts.append((h, tag[3] - ord("0")))
+    mstarts, start_bits = _member_starts(stream, headers)
     if not mstarts or mstarts[0][0] != 32:
         return None
-    start_bits = [s for s, _ in mstarts]
-
-    import bisect
 
     def decode_one(off):
-        level = mstarts[bisect.bisect_right(start_bits, off) - 1][1]
         try:
-            return native.decode_block_at(stream, off, level, verify_crc)
+            return native.decode_block_at(
+                stream, off, _level_at(mstarts, start_bits, off), verify_crc
+            )
         except ValueError:
             # Spurious marker match — the caller falls back to sequential
             # decode, which raises properly if the stream is genuinely bad.
@@ -287,24 +297,16 @@ def _stream_file_parallel(mm, fout, verify_crc: bool, window: int) -> bool:
         return False
     ends_set = set(ends)
     n = len(headers)
-
-    mstarts: list[tuple[int, int]] = []  # (first header bit, level)
-    for h in headers:
-        if h >= 32 and (h - 32) % 8 == 0:
-            tag = bytes(mm[(h - 32) // 8 : (h - 32) // 8 + 4])
-            if tag[:3] == b"BZh" and ord("1") <= tag[3] <= ord("9"):
-                mstarts.append((h, tag[3] - ord("0")))
+    mstarts, start_bits = _member_starts(mm, headers)
     if not mstarts or mstarts[0][0] != 32:
         return False
-    start_bits = [s for s, _ in mstarts]
     starts_set = set(start_bits)
 
-    import bisect
-
     def decode_one(off):
-        level = mstarts[bisect.bisect_right(start_bits, off) - 1][1]
         try:
-            return native.decode_block_at(mm, off, level, verify_crc)
+            return native.decode_block_at(
+                mm, off, _level_at(mstarts, start_bits, off), verify_crc
+            )
         except ValueError:
             return None
 

@@ -7,10 +7,17 @@ sites can switch imports and get the TPU pipeline:
   * write modes stream through the push-style ``StreamCompressor``
     (bounded memory; blocks leave for the device in batches);
   * read modes stream through ``StreamDecompressor`` (bounded memory,
-    native C block decode) and read concatenated multi-member files
-    transparently, exactly like stdlib ``BZ2File``;
+    native C block decode), read concatenated multi-member files
+    transparently, and support ``seek()`` (rewind + skip, like stdlib);
   * append mode starts a fresh bzip2 stream after the existing bytes —
     a standard multi-member file that stock bzip2 and stdlib decode.
+
+Error/trailing-data semantics were pinned against CPython's bz2 on the
+same inputs (see tests/test_fileobj.py): corruption raises OSError
+(Bz2FormatError subclasses it), an empty file or a truncated member
+raises EOFError, non-magic trailing bytes and members that ERROR after
+the first complete member are silently ignored, and a truncated magic
+raises EOFError.
 """
 
 from __future__ import annotations
@@ -21,6 +28,7 @@ import os
 from bz2tpu.format import constants as C
 
 _READ_CHUNK = 1 << 20
+_EOF_MSG = "Compressed file ended before the end-of-stream marker was reached"
 
 
 class BZ2File(io.BufferedIOBase):
@@ -58,10 +66,14 @@ class BZ2File(io.BufferedIOBase):
             from bz2tpu.runtime.decompressor import StreamDecompressor
 
             self._make_dec = StreamDecompressor
-            self._dec = StreamDecompressor()
-            self._outbuf = bytearray()
-            self._raw_eof = False
-            self._fed = False  # current member has received bytes
+            self._reset_read_state()
+
+    def _reset_read_state(self) -> None:
+        self._dec = self._make_dec()
+        self._outbuf = bytearray()
+        self._raw_eof = False
+        self._fed = False  # current member has received bytes
+        self._members_done = False  # >= 1 member decoded to its end marker
 
     # -- io plumbing -------------------------------------------------------
 
@@ -72,7 +84,7 @@ class BZ2File(io.BufferedIOBase):
         return self._writing
 
     def seekable(self) -> bool:
-        return False
+        return not self._writing and self._fp.seekable()
 
     def tell(self) -> int:
         return self._pos
@@ -89,6 +101,12 @@ class BZ2File(io.BufferedIOBase):
                 fp.close()
             super().close()
 
+    def _check_read(self) -> None:
+        if self._writing:
+            raise io.UnsupportedOperation("file not open for reading")
+        if self.closed:
+            raise ValueError("I/O operation on closed file")
+
     # -- write path ---------------------------------------------------------
 
     def write(self, data) -> int:
@@ -96,7 +114,7 @@ class BZ2File(io.BufferedIOBase):
             raise io.UnsupportedOperation("file not open for writing")
         if self.closed:
             raise ValueError("I/O operation on closed file")
-        b = bytes(data)
+        b = bytes(memoryview(data))  # TypeError on str/int, like stdlib
         self._sc.write(b)
         self._pos += len(b)
         return len(b)
@@ -110,13 +128,16 @@ class BZ2File(io.BufferedIOBase):
     def _fill(self) -> bool:
         """Decode more output into the buffer; False at end of data.
 
-        Stdlib-BZ2File trailing-data contract (verified against CPython):
-        concatenated members decode transparently, non-magic trailing
-        bytes are silently ignored, a TRUNCATED "BZh<1-9>" magic raises
-        EOFError, and a member cut mid-stream raises EOFError.
+        Stdlib-BZ2File contract (pinned against CPython, see module
+        docstring and tests): members concatenate; after >= 1 complete
+        member, non-magic trailing bytes AND members that error
+        mid-decode are ignored; truncated magic or a member cut short
+        raises EOFError; an empty file raises EOFError; errors in the
+        FIRST member propagate (OSError via Bz2FormatError).
         """
         while True:
             if self._dec.eof:
+                self._members_done = True
                 tail = self._dec.unused_data
                 while len(tail) < 4 and not self._raw_eof:
                     more = self._fp.read(_READ_CHUNK)
@@ -131,15 +152,15 @@ class BZ2File(io.BufferedIOBase):
                     len(tail) < 4 or ord("1") <= tail[3] <= ord("9")
                 )
                 if not magic_prefix:
-                    return False  # stdlib: non-magic trailing data ignored
+                    return False  # non-magic trailing data ignored
                 if len(tail) < 4:
-                    raise EOFError(
-                        "Compressed file ended before the end-of-stream "
-                        "marker was reached"
-                    )
+                    raise EOFError(_EOF_MSG)
                 self._dec = self._make_dec()
                 self._fed = True
-                got = self._dec.decompress(tail)
+                try:
+                    got = self._dec.decompress(tail)
+                except OSError:
+                    return False  # later member errored: trailing ignored
                 if got:
                     self._outbuf += got
                     return True
@@ -147,23 +168,21 @@ class BZ2File(io.BufferedIOBase):
             chunk = self._fp.read(_READ_CHUNK)
             if not chunk:
                 self._raw_eof = True
-                if self._fed:
-                    raise EOFError(
-                        "Compressed file ended before the end-of-stream "
-                        "marker was reached"
-                    )
-                return False
+                # Empty file, or a member cut short: stdlib raises.
+                raise EOFError(_EOF_MSG)
             self._fed = True
-            got = self._dec.decompress(chunk)
+            try:
+                got = self._dec.decompress(chunk)
+            except OSError:
+                if self._members_done:
+                    return False  # later member errored: trailing ignored
+                raise
             if got:
                 self._outbuf += got
                 return True
 
     def read(self, size: int = -1) -> bytes:
-        if self._writing:
-            raise io.UnsupportedOperation("file not open for reading")
-        if self.closed:
-            raise ValueError("I/O operation on closed file")
+        self._check_read()
         if size is None or size < 0:
             while self._fill():
                 pass
@@ -178,6 +197,7 @@ class BZ2File(io.BufferedIOBase):
         return out
 
     def read1(self, size: int = -1) -> bytes:
+        self._check_read()
         if size == 0:
             return b""
         if not self._outbuf:
@@ -189,9 +209,36 @@ class BZ2File(io.BufferedIOBase):
         return out
 
     def peek(self, n: int = 0) -> bytes:
+        self._check_read()
         if not self._outbuf:
             self._fill()
         return bytes(self._outbuf)
+
+    def seek(self, offset: int, whence: int = io.SEEK_SET) -> int:
+        """Reposition (read mode): rewind + re-decode and skip, exactly
+        the stdlib strategy — O(target) work, constant memory."""
+        self._check_read()
+        if not self.seekable():
+            raise io.UnsupportedOperation("underlying file is not seekable")
+        if whence == io.SEEK_SET:
+            target = offset
+        elif whence == io.SEEK_CUR:
+            target = self._pos + offset
+        elif whence == io.SEEK_END:
+            while self._fill():  # learn the total size
+                pass
+            target = self._pos + len(self._outbuf) + offset
+        else:
+            raise ValueError(f"invalid whence: {whence}")
+        target = max(0, target)
+        if target < self._pos:
+            self._fp.seek(0)
+            self._reset_read_state()
+            self._pos = 0
+        while self._pos < target:
+            if not self.read(min(_READ_CHUNK, target - self._pos)):
+                break
+        return self._pos
 
 
 def bz2_open(filename, mode: str = "rb", *, level: int = C.DEFAULT_LEVEL,
