@@ -9,8 +9,55 @@ NumPy implementations when the extension is not built.
 
 from __future__ import annotations
 
+import os
+
+
+def _build_inplace() -> bool:
+    """Compile _bz2dec.c next to this file (one cc call, ~1 s).
+
+    A fresh checkout has no .so; without this the whole C fast path
+    (sequential/parallel decode, RLE1 intake, CRC) silently degrades to
+    NumPy. Set BZ2TPU_NO_NATIVE_BUILD=1 to disable the auto-build.
+    """
+    if os.environ.get("BZ2TPU_NO_NATIVE_BUILD"):
+        return False
+    import subprocess
+    import sysconfig
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "_bz2dec.c")
+    ext = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
+    out = os.path.join(here, "_bz2dec" + ext)
+    if not os.path.exists(src):
+        return False
+    cc = sysconfig.get_config_var("CC") or "cc"
+    cmd = [*cc.split(), "-O3", "-Wall", "-shared", "-fPIC",
+           "-I", sysconfig.get_path("include"), src, "-o", out + ".tmp"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(out + ".tmp", out)  # atomic: parallel builders race safely
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    import importlib
+
+    try:
+        from bz2tpu.native import _bz2dec as impl
+    except ImportError:
+        if not _build_inplace():
+            raise
+        from bz2tpu.native import _bz2dec as impl
+    if not hasattr(impl, "inverse_rle1"):  # stale .so: rebuild once
+        if _build_inplace():
+            impl = importlib.reload(impl)
+    return impl
+
+
 try:  # pragma: no cover - exercised via the public wrappers
-    from bz2tpu.native import _bz2dec as _impl
+    _impl = _load()
 
     HAVE_NATIVE = True
     decode_stream = _impl.decode_stream

@@ -121,6 +121,11 @@ def test_two_process_distributed_matches_single(tmp_path, dpp):
     # run); its registration is gated on this env var.
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
+    # The worker script lives in tmp_path, so the repo root is not on
+    # sys.path automatically (cwd is only added for -c/interactive).
+    env["PYTHONPATH"] = "/root/repo" + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), coord, str(pid), str(data_path),
