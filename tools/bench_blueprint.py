@@ -40,7 +40,7 @@ def _now() -> str:
     return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
 
 
-def level_sweep(levels) -> dict:
+def level_sweep(levels, flush=None) -> dict:
     from bz2tpu.format import constants as C
     from bz2tpu.runtime.compressor import compress
 
@@ -69,6 +69,8 @@ def level_sweep(levels) -> dict:
             print(f"level {lv}: {rows[str(lv)]}", file=sys.stderr, flush=True)
         except Exception as e:  # noqa: BLE001 — record partial progress
             rows[str(lv)] = {"error": str(e)[:200]}
+        if flush is not None:  # survive a mid-sweep box wedge
+            flush(rows)
     return rows
 
 
@@ -167,7 +169,15 @@ def main() -> int:
     ))
     if levels:
         sweep = rec.get("level_sweep", {})
-        sweep.update(level_sweep(levels))
+
+        def _flush(rows):
+            sweep.update(rows)
+            rec["level_sweep"] = sweep
+            rec["level_sweep_recorded"] = _now()
+            with open(OUT, "w") as f:
+                json.dump(rec, f, indent=1)
+
+        sweep.update(level_sweep(levels, flush=_flush))
         rec["level_sweep"] = sweep
         rec["level_sweep_recorded"] = _now()
     if not args.skip_100mb:
