@@ -49,7 +49,11 @@ def level_sweep(levels, flush=None) -> dict:
         n = max(10_000_000, 2 * BATCH * C.BLOCK_SIZE_BASE * lv)
         data = make_mixed_corpus(n)
         try:
-            compress(data[: n // 4], level=lv, parallel=BATCH)  # warm shapes
+            # Warm with the FULL-length input: a shorter warm run can pick
+            # different pow2 batch widths than the timed run, which then
+            # pays a fresh multi-minute XLA compile inside its wall (seen
+            # as the level-6 0.091 MB/s outlier in the first r4 sweep).
+            compress(data, level=lv, parallel=BATCH)
             t0 = time.time()
             ours = compress(data, level=lv, parallel=BATCH)
             dt = time.time() - t0
