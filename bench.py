@@ -303,13 +303,15 @@ def _blueprint_recorded() -> dict | None:
     terminal that wedges unpredictably under sustained load, which would
     take the whole driver bench down with them. Provenance (corpus
     sha256, timestamps) rides in the record."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BLUEPRINT_r04.json")
-    try:
-        with open(path) as f:
-            return json.load(f)
-    except (OSError, json.JSONDecodeError):
-        return None
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "BLUEPRINT_r*.json")))
+    for path in reversed(paths):  # newest round wins
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+    return None
 
 
 def main() -> int:
@@ -428,6 +430,48 @@ def main() -> int:
                 "--backend device with certified host fallback",
     }
 
+    # Output contract (VERDICT r4 weak #1): the driver records only a tail
+    # window of stdout and parses the LAST line, so the headline JSON must
+    # be the final line and SMALL. Bulk detail goes to (a) earlier
+    # one-record-per-line JSON lines and (b) BENCH_DETAIL.json on disk.
+    detail = {
+        "level": LEVEL,
+        "corpus": "mixed (40% real text, 15% ELF, 20% markov, 15% runs, 10% random)",
+        "input_mb": round(nbytes / 1e6, 1),
+        "ratio": round(len(out) / nbytes, 4),
+        "stock_ratio": round(len(stock) / nbytes, 4),
+        "stock_mb_s": round(stock_mbps, 3),
+        "decompress_mb_s": round(dec_mbps, 3),
+        "stock_decompress_mb_s": round(stock_dec_mbps, 3),
+        "device_decompress_mb_s": dev_dec_mbps,
+        "device_decompress_model_real_hbm": device_decode_model,
+        "warmup_s": round(warm_s, 1),
+        "warmup_fresh_compiles": warm_compiles,
+        "warmup_cache_hits": warm_cache_hits,
+        "samples_s": {"ours": [round(s, 3) for s in ours_samples],
+                      "stock": [round(s, 3) for s in stock_samples]},
+        "corpus_provenance": _corpus_provenance(data),
+        "stock_stream_decompress": _stock_decompress_sweep(),
+        "ratio_sweep": _ratio_sweep(),
+        "bwt_worst_case": _worst_case(),
+        "device_intake_compress": _device_intake(),
+        "aot_cold_start": _aot_cold_start_recorded(),
+        "scaling": _scaling_table(),
+        "blueprint": _blueprint_recorded(),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        detail_path = None
+    # One record per line, each line small enough to survive any tail
+    # window; the headline line is last and carries only scalars.
+    for key in sorted(detail):
+        print(json.dumps({"record": key, "value": detail[key]})[:2000])
+    sys.stdout.flush()
     print(json.dumps({
         "metric": "compress_throughput",
         "value": round(ours, 3),
@@ -435,30 +479,29 @@ def main() -> int:
         "vs_baseline": round(ours / stock_mbps, 3),
         "detail": {
             "level": LEVEL,
-            "corpus": "mixed (40% real text, 15% ELF, 20% markov, 15% runs, 10% random)",
             "input_mb": round(nbytes / 1e6, 1),
             "ratio": round(len(out) / nbytes, 4),
             "stock_ratio": round(len(stock) / nbytes, 4),
             "stock_mb_s": round(stock_mbps, 3),
             "decompress_mb_s": round(dec_mbps, 3),
-            "stock_decompress_mb_s": round(stock_dec_mbps, 3),
-            "device_decompress_mb_s": dev_dec_mbps,
-            "device_decompress_model_real_hbm": device_decode_model,
             "warmup_s": round(warm_s, 1),
-            "warmup_fresh_compiles": warm_compiles,
-            "warmup_cache_hits": warm_cache_hits,
-            "samples_s": {"ours": [round(s, 3) for s in ours_samples],
-                          "stock": [round(s, 3) for s in stock_samples]},
-            "corpus_provenance": _corpus_provenance(data),
-            "stock_stream_decompress": _stock_decompress_sweep(),
-            "ratio_sweep": _ratio_sweep(),
-            "bwt_worst_case": _worst_case(),
-            "device_intake_compress": _device_intake(),
-            "scaling": _scaling_table(),
-            "blueprint": _blueprint_recorded(),
+            "full_detail": detail_path or "see 'record' lines above",
         },
     }))
     return 0
+
+
+def _aot_cold_start_recorded() -> dict | None:
+    """Fresh-process AOT cold-start wall (VERDICT r4 missing #2), recorded
+    by tools/bench_aot_cold.py on the real chip; folded in from the file
+    so the driver bench does not redo a multi-minute artifact export."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "AOT_COLD_START.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
 
 
 if __name__ == "__main__":
