@@ -86,8 +86,25 @@ def bwt_stage(blocks, ns):
     return jax.vmap(bwt_encode)(blocks, ns)
 
 
+_BATCH_MTF = os.environ.get("BZ2TPU_BATCH_MTF", "0") == "1"
+
+
 @functools.partial(jax.jit, static_argnames=("mtf_chunk",))
 def mtf_stage(last, ns, *, mtf_chunk: int = 4096):
+    """Per-block vmapped MTF (the measured winner on this box).
+
+    The round-5 load-balanced batch scan (ops/mtf.mtf_rle2_encode_batch:
+    compacted live slots + closed-form carries, trip count sum(m_b) not
+    max(m_b)) stays behind BZ2TPU_BATCH_MTF=1 as a documented negative
+    result: the ranks scan is only ~0.10 s/batch, so halving its trips
+    cannot repay the carry-precompute scatter and per-iteration
+    gather/scatter (0.17 vs 0.10 s, tools/probe14_out.jsonl). The round-5
+    MTF win came from the shared RLE2 emission rework instead (4 big
+    gathers -> k_of fill + 2 packed gathers: stage 0.86 -> 0.50 s)."""
+    if _BATCH_MTF:
+        from bz2tpu.ops.mtf import mtf_rle2_encode_batch
+
+        return mtf_rle2_encode_batch(last, ns, chunk=mtf_chunk)
     return jax.vmap(lambda l, n: mtf_rle2_encode(l, n, chunk=mtf_chunk))(last, ns)
 
 

@@ -50,6 +50,56 @@ def test_long_zero_run_digits(rng):
         _check(arr, cap=2048)
 
 
+def test_batch_matches_per_block(rng):
+    """The load-balanced batch scan (compacted slots + closed-form carries)
+    must produce bit-identical results to the per-block while_loop form,
+    across a batch mixing collapse ratios and valid lengths."""
+    from bz2tpu.ops.mtf import mtf_rle2_encode_batch
+
+    cap = 4096
+    kinds_sizes = [
+        ("text", 4093), ("random", 4096), ("runs", 3000), ("zeros", 4096),
+        ("alternating", 2048), ("text", 1), ("random", 65), ("runs", 4096),
+    ]
+    batch = np.zeros((len(kinds_sizes), cap), np.uint8)
+    ns = np.zeros(len(kinds_sizes), np.int32)
+    for i, (kind, size) in enumerate(kinds_sizes):
+        arr = np.frombuffer(make_corpus(rng, kind, size), dtype=np.uint8)
+        last, _ = oracle_bwt(arr)
+        batch[i, : arr.size] = last
+        ns[i] = arr.size
+    got = mtf_rle2_encode_batch(jnp.asarray(batch), jnp.asarray(ns), chunk=256)
+    for i in range(len(kinds_sizes)):
+        want = mtf_rle2_encode(
+            jnp.asarray(batch[i]), jnp.int32(ns[i]), chunk=256
+        )
+        n_sym = int(want["n_sym"])
+        assert int(got["n_sym"][i]) == n_sym
+        np.testing.assert_array_equal(
+            np.asarray(got["symbols"][i])[:n_sym], np.asarray(want["symbols"])[:n_sym]
+        )
+        assert np.all(np.asarray(got["symbols"][i])[n_sym:] == -1)
+        np.testing.assert_array_equal(np.asarray(got["used"][i]), np.asarray(want["used"]))
+        np.testing.assert_array_equal(np.asarray(got["freqs"][i]), np.asarray(want["freqs"]))
+
+
+def test_batch_single_block_tiny(rng):
+    # B*n_chunks smaller than the scan's lane width must still work.
+    from bz2tpu.ops.mtf import mtf_rle2_encode_batch
+
+    arr = np.frombuffer(make_corpus(rng, "text", 300), dtype=np.uint8)
+    last, _ = oracle_bwt(arr)
+    padded = np.zeros(512, np.uint8)
+    padded[: arr.size] = last
+    got = mtf_rle2_encode_batch(
+        jnp.asarray(padded[None, :]), jnp.asarray([arr.size], np.int32), chunk=256
+    )
+    want = oracle_mtf(last)
+    n_sym = int(got["n_sym"][0])
+    assert n_sym == want.symbols.size
+    np.testing.assert_array_equal(np.asarray(got["symbols"][0])[:n_sym], want.symbols)
+
+
 def test_mtf_chunk_over_int16_bound_rejected():
     # The scan runs (chunk, 256) arrays in int16; chunk > 32768 would wrap
     # local times negative and silently corrupt ranks — it must raise.

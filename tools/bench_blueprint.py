@@ -3,7 +3,7 @@
 Runs the two configurations the 14.4 MB driver bench cannot afford to
 re-run every round on this terminal (the box wedges unpredictably under
 sustained device load — PERF.md round 1/2 soak notes), and writes
-BLUEPRINT_r04.json at the repo root. bench.py folds the recorded results
+BLUEPRINT_r05.json at the repo root. bench.py folds the recorded results
 into its detail blob with this provenance.
 
   config 2: enwik8-class >=100 MB single-chip steady-state compress +
@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import BATCH, make_mixed_corpus  # noqa: E402
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "BLUEPRINT_r04.json")
+                   "BLUEPRINT_r05.json")
 
 
 def _now() -> str:
@@ -108,49 +108,89 @@ def blueprint_100mb(nbytes: int = 100_000_000) -> dict:
     return out
 
 
-def blueprint_1gb_stream() -> dict:
+def blueprint_1gb_stream(n_total: int = 1_000_000_000) -> dict:
     """Config 4's single-chip analog: 1 GB through the bounded-memory
     streaming compressor (multi-host hardware does not exist here; the
-    multi-host path itself is validated by the 2-process cluster tests)."""
+    multi-host path itself is validated by the 2-process cluster tests).
+
+    The compressed stream lands in a temp FILE (not a counting sink) and
+    is then decoded back with the bounded-memory `decompress_file`; the
+    decoded bytes' CRC32 must equal the input CRC or the record carries
+    an error (VERDICT r4 missing #3: a silent mis-stitch at hour 2 of the
+    soak must be visible). Stock libbz2 runs the same byte stream through
+    an incremental BZ2Compressor as the comparator."""
+    import tempfile
     import zlib
 
+    from bz2tpu.runtime.decompressor import decompress_file
     from bz2tpu.runtime.stream import StreamCompressor
 
-    class _CountSink:
-        def __init__(self):
-            self.n = 0
+    piece = make_mixed_corpus(min(50_000_000, n_total))  # 50 MB window, rotated per pass
 
-        def write(self, b):
-            self.n += len(b)
+    def feed(consume) -> tuple[int, float]:
+        """Stream the deterministic 1 GB corpus; returns (crc, wall)."""
+        crc = 0
+        t0 = time.time()
+        fed = 0
+        while fed < n_total:
+            # Rotate the window so consecutive 50 MB spans differ (no free
+            # repetition for the compressor to exploit).
+            k = ((fed // len(piece)) * 4099) % len(piece)
+            chunk = piece[k:] + piece[:k]
+            take = min(len(chunk), n_total - fed)
+            chunk = chunk[:take]
+            crc = zlib.crc32(chunk, crc)
+            consume(chunk)
+            fed += take
+            print(f"  1gb: {fed/1e6:.0f} MB in {time.time()-t0:.0f}s",
+                  file=sys.stderr, flush=True)
+        return crc, t0
 
-    n_total = 1_000_000_000
-    piece = make_mixed_corpus(50_000_000)  # 50 MB window, rotated per pass
-    sink = _CountSink()
-    sc = StreamCompressor(sink, level=9, parallel=BATCH)
-    crc = 0
-    t0 = time.time()
-    fed = 0
-    while fed < n_total:
-        # Rotate the window so consecutive 50 MB spans differ (no free
-        # repetition for the compressor to exploit).
-        k = ((fed // len(piece)) * 4099) % len(piece)
-        chunk = piece[k:] + piece[:k]
-        take = min(len(chunk), n_total - fed)
-        chunk = chunk[:take]
-        crc = zlib.crc32(chunk, crc)
-        sc.write(chunk)
-        fed += take
-        print(f"  1gb: {fed/1e6:.0f} MB in {time.time()-t0:.0f}s",
-              file=sys.stderr, flush=True)
-    sc.close()
-    dt = time.time() - t0
-    return {
-        "input_gb": round(n_total / 1e9, 2),
-        "compress_mb_s": round(n_total / dt / 1e6, 3),
-        "ratio": round(sink.n / n_total, 5),
-        "input_crc32": crc,
-        "mode": "bounded-memory StreamCompressor, single chip",
-    }
+    with tempfile.TemporaryDirectory() as td:
+        comp_path = os.path.join(td, "soak.bz2")
+        out: dict = {"input_gb": round(n_total / 1e9, 2),
+                     "mode": "bounded-memory StreamCompressor, single chip"}
+        with open(comp_path, "wb") as sink:
+            sc = StreamCompressor(sink, level=9, parallel=BATCH)
+            crc, t0 = feed(sc.write)
+            sc.close()
+            dt = time.time() - t0
+        out["compress_mb_s"] = round(n_total / dt / 1e6, 3)
+        out["ratio"] = round(os.path.getsize(comp_path) / n_total, 5)
+        out["input_crc32"] = crc
+
+        # Stock comparator on the identical stream (incremental API so the
+        # 1 GB never materializes in one buffer).
+        stock = stdlib_bz2.BZ2Compressor(9)
+        stock_n = 0
+
+        def stock_write(chunk):
+            nonlocal stock_n
+            stock_n += len(stock.compress(chunk))
+
+        _, t0 = feed(stock_write)
+        stock_n += len(stock.flush())
+        out["stock_compress_mb_s"] = round(n_total / (time.time() - t0) / 1e6, 3)
+        out["stock_ratio"] = round(stock_n / n_total, 5)
+
+        # Verify: bounded-memory decode of the produced file, CRC compare.
+        dec_path = os.path.join(td, "soak.out")
+        t0 = time.time()
+        decompress_file(comp_path, dec_path)
+        out["decompress_mb_s"] = round(n_total / (time.time() - t0) / 1e6, 3)
+        dcrc = 0
+        dn = 0
+        with open(dec_path, "rb") as f:
+            while True:
+                b = f.read(1 << 24)
+                if not b:
+                    break
+                dcrc = zlib.crc32(b, dcrc)
+                dn += len(b)
+        out["verified"] = bool(dcrc == crc and dn == n_total)
+        if not out["verified"]:
+            out["error"] = f"decode CRC/len mismatch: {dcrc:#x}/{dn} vs {crc:#x}/{n_total}"
+    return out
 
 
 def main() -> int:
