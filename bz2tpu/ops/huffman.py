@@ -233,20 +233,29 @@ def huffman_assign(
     group_valid = jnp.arange(maxsel, dtype=jnp.int32) < n_sel
     selectors = jnp.zeros(maxsel, jnp.int32)
 
-    def iterate(_, state):
-        lengths, selectors = state
+    def iterate(state):
+        i, lengths, selectors, _ = state
         cost = gfreq_f @ lengths.astype(jnp.float32).T  # (maxsel, 6), exact
         cost = jnp.where(table_mask[None, :], cost, jnp.float32(jnp.inf))
-        selectors = jnp.argmin(cost, axis=1).astype(jnp.int32)
+        new_sel = jnp.argmin(cost, axis=1).astype(jnp.int32)
+        # Fixed point: the assignment repeated, so rfreq — and therefore
+        # the refit lengths — cannot change either. (i > 0 guards the
+        # zeros init coinciding with a real all-table-0 argmin before any
+        # length refit has happened.)
+        done = (i > 0) & jnp.all(new_sel == selectors)
         onehot = (
-            (selectors[:, None] == jnp.arange(_NTAB)[None, :]) & group_valid[:, None]
+            (new_sel[:, None] == jnp.arange(_NTAB)[None, :]) & group_valid[:, None]
         ).astype(jnp.float32)
         rfreq = (onehot.T @ gfreq_f).astype(jnp.int32)  # (6, 258), exact
-        lengths = code_lengths_tables(rfreq, alpha)
-        return lengths, selectors
+        lengths = jnp.where(done, lengths, code_lengths_tables(rfreq, alpha))
+        return i + 1, lengths, new_sel, done
 
-    lengths, selectors = lax.fori_loop(
-        0, C.HUFFMAN_REFINE_ITERS, iterate, (lengths, selectors)
+    def not_converged(state):
+        i, _, _, done = state
+        return (i < C.HUFFMAN_REFINE_ITERS) & ~done
+
+    _, lengths, selectors, _ = lax.while_loop(
+        not_converged, iterate, (jnp.int32(0), lengths, selectors, jnp.bool_(False))
     )
     codes = canonical_codes(lengths, alpha)
     sel_mtf = selector_mtf_ranks(selectors, n_sel)

@@ -322,8 +322,8 @@ def huffman_plan(symbols: np.ndarray, freqs: np.ndarray, alpha_size: int) -> Huf
     """Table seeding + iterative group->table refinement.
 
     Seeding slices the cumulative frequency range into nGroups spans with
-    0/15 starting lengths; then HUFFMAN_REFINE_ITERS passes of per-group
-    cheapest-table selection (a groups x tables cost reduction — on TPU this
+    0/15 starting lengths; then per-group cheapest-table selection passes,
+    iterated to the selector fixed point (capped at HUFFMAN_REFINE_ITERS) (a groups x tables cost reduction — on TPU this
     is a (groups, alpha) @ (alpha, tables) matmul) and per-table code-length
     rebuilds. Semantics of reference kernel.cpp:2859-2951 / stock
     sendMTFValues.
@@ -360,9 +360,12 @@ def huffman_plan(symbols: np.ndarray, freqs: np.ndarray, alpha_size: int) -> Huf
     np.add.at(gfreq, (np.nonzero(valid)[0], grouped[valid]), 1)
 
     selectors = np.zeros(n_selectors, dtype=np.int32)
-    for _ in range(C.HUFFMAN_REFINE_ITERS):
+    for i in range(C.HUFFMAN_REFINE_ITERS):
         cost = gfreq @ lengths.T.astype(np.int64)  # (n_selectors, n_groups)
-        selectors = np.argmin(cost, axis=1).astype(np.int32)
+        new_sel = np.argmin(cost, axis=1).astype(np.int32)
+        if i > 0 and np.array_equal(new_sel, selectors):
+            break  # fixed point: rfreq, hence lengths, cannot change
+        selectors = new_sel
         rfreq = np.zeros((n_groups, alpha_size), dtype=np.int64)
         np.add.at(rfreq, selectors, gfreq)
         for t in range(n_groups):
