@@ -34,6 +34,7 @@ bz2tpu/ops/mtf_dec.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +44,9 @@ from bz2tpu.format import constants as C
 
 _KMAX = C.HUFFMAN_DECODE_MAX_ACCEPTED_LENGTH  # 20: codes longer are invalid
 _LUT_BITS = 20  # code length is a function of the top 20 window bits
+# int16 relative-delta jump composition (TODO #4); A/B'd on-device in
+# tools/perf_probe16_decode.py — see PERF.md round 5 for the verdict.
+_I16_JUMPS = os.environ.get("BZ2TPU_DEC_I16", "0") == "1"
 
 
 @jax.jit
@@ -184,14 +188,44 @@ def decode_symbol_data(
     # its own segment): 7 composition gathers TOTAL instead of 7 per
     # table — same elements moved, 6x fewer dispatches.
     seg = (jnp.arange(n_tables, dtype=jnp.int32) * n_bits_cap)[:, None]
-    j_all = (jnp.minimum(p_rel[None, :] + lens_all, n_bits_cap - 1) + seg).reshape(-1)
-    j2 = j_all[j_all]
-    j16 = j2
-    for _ in range(3):  # j4, j8, j16
-        j16 = j16[j16]
-    j32 = j16[j16]
-    j50 = j32[j16[j2]]  # 32 + 16 + 2 = 50 symbols forward
-    jump50 = j50.reshape(n_tables, n_bits_cap) - seg
+    if _I16_JUMPS:
+        # int16 RELATIVE composition (TODO #4): a 50-symbol advance is
+        # <= 50*20 = 1000 bits, so every composed jump fits int16 as a
+        # DELTA — the 7 gather passes move half the bytes (2 vs 4 B per
+        # element) at the cost of re-deriving absolute indices (+2 fused
+        # elementwise ops per pass). Worthwhile iff the backend prices
+        # gathers by bytes (real HBM) rather than per element (this box).
+        p_flat = jnp.broadcast_to(p_rel[None, :], (n_tables, n_bits_cap)).reshape(-1)
+        seg_flat = jnp.broadcast_to(seg, (n_tables, n_bits_cap)).reshape(-1)
+        d = lens_all.astype(jnp.int16).reshape(-1)
+
+        def compose(d_a, d_b):
+            # d_{a+b}[p] = clip-composition matching the absolute form.
+            nxt = jnp.minimum(p_flat + d_a.astype(jnp.int32), n_bits_cap - 1)
+            total = jnp.minimum(
+                nxt + d_b[seg_flat + nxt].astype(jnp.int32), n_bits_cap - 1
+            )
+            return (total - p_flat).astype(jnp.int16)
+
+        d2 = compose(d, d)
+        d16 = d2
+        for _ in range(3):  # d4, d8, d16
+            d16 = compose(d16, d16)
+        d32 = compose(d16, d16)
+        d50 = compose(compose(d2, d16), d32)  # 2 + 16 + 32 = 50 forward
+        jump50 = jnp.minimum(
+            p_rel[None, :] + d50.reshape(n_tables, n_bits_cap).astype(jnp.int32),
+            n_bits_cap - 1,
+        )
+    else:
+        j_all = (jnp.minimum(p_rel[None, :] + lens_all, n_bits_cap - 1) + seg).reshape(-1)
+        j2 = j_all[j_all]
+        j16 = j2
+        for _ in range(3):  # j4, j8, j16
+            j16 = j16[j16]
+        j32 = j16[j16]
+        j50 = j32[j16[j2]]  # 32 + 16 + 2 = 50 symbols forward
+        jump50 = j50.reshape(n_tables, n_bits_cap) - seg
 
     # --- 3. serial group chain (the only sequential part) ----------------
     def chain_step(g, carry):

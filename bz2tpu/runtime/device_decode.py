@@ -25,8 +25,13 @@ capacity per level) so a handful of XLA programs serve every stream.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
+
+# Blocks per vmapped device dispatch (pow2-padded). 8 measured best at
+# round 4; 16 halves dispatch count per bucket (A/B: perf_probe16).
+_BUCKET_W = int(os.environ.get("BZ2TPU_DEC_BUCKET", "8"))
 
 import jax
 import jax.numpy as jnp
@@ -205,8 +210,8 @@ def _decompress_device_inner(stream: bytes, verify_crc: bool) -> bytes | None:
 
     results: list[bytes | None] = [None] * len(parsed)
     for (gmax, m_sym, nbc), idxs in buckets.items():
-        for base_i in range(0, len(idxs), 8):
-            group = idxs[base_i : base_i + 8]
+        for base_i in range(0, len(idxs), _BUCKET_W):
+            group = idxs[base_i : base_i + _BUCKET_W]
             b = _pow2_at_least(len(group), 1)
             rows = group + [group[0]] * (b - len(group))  # pad w/ repeats
             sel = np.zeros((b, gmax), np.int32)
