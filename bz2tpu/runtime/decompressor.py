@@ -16,6 +16,7 @@ per pull (reference include/InputStream.hpp:51-95, app.cpp:149-168). Here:
 
 from __future__ import annotations
 
+import bisect
 import os
 from concurrent.futures import ThreadPoolExecutor
 
@@ -61,8 +62,6 @@ def _member_starts(buf, headers) -> tuple[list[tuple[int, int]], list[int]]:
 
 def _level_at(mstarts, start_bits, off: int) -> int:
     """Level of the member containing bit offset ``off``."""
-    import bisect
-
     return mstarts[bisect.bisect_right(start_bits, off) - 1][1]
 
 
@@ -102,25 +101,35 @@ def _decompress_parallel(stream: bytes, verify_crc: bool) -> bytes | None:
     workers = min(len(headers), os.cpu_count() or 1)
     with ThreadPoolExecutor(max_workers=workers) as pool:
         results = list(pool.map(decode_one, headers))
-    if any(r is None for r in results):
-        # NOTE: falling back restarts sequentially from scratch — O(2x) on
-        # adversarial inputs whose data embeds spurious marker bit
-        # patterns; correctness first (a salvage of partial optimistic
-        # output would have to re-verify the chain anyway).
-        return None
 
+    # Walk the block chain by POSITION (blocks abut bit-exactly), not by
+    # header index: a spurious marker match lands OFF the chain and is
+    # simply never visited, so its (wasted, possibly failed) decode does
+    # not force the O(2x) restart-from-scratch the round-4 review flagged.
+    # Only an ON-chain failure — a block the stream actually needs that
+    # would not decode — defers to the sequential path, which owns the
+    # error semantics.
+    pos2idx = {h: k for k, h in enumerate(headers)}
     out = []
-    i, mi, n = 0, 0, len(headers)
-    while i < n:
-        if mi >= len(mstarts) or headers[i] != mstarts[mi][0]:
+    member_no = 0
+    cur = 32
+    while True:
+        # bisect over the sorted member-start bits: `cur` must BE one.
+        j = bisect.bisect_left(start_bits, cur)
+        if j >= len(start_bits) or start_bits[j] != cur:
             return None  # member bookkeeping out of sync: sequential
         s_crc = 0
-        while True:  # blocks of member mi
-            data, crc, end_bit = results[i]
+        while True:  # blocks of this member
+            idx = pos2idx.get(cur)
+            if idx is None or results[idx] is None:
+                return None  # an on-chain block failed: sequential
+            data, crc, end_bit = results[idx]
+            if end_bit <= cur:
+                return None
             out.append(data)
             s_crc = stream_crc_fold(s_crc, crc)
-            i += 1
-            if i < n and headers[i] == end_bit:
+            if end_bit in pos2idx:
+                cur = end_bit
                 continue
             break
         # The member's last block must land exactly on an end marker.
@@ -132,26 +141,33 @@ def _decompress_parallel(stream: bytes, verify_crc: bool) -> bytes | None:
         if verify_crc:
             stored = _read_bits_at(stream, pos, 32)
             if stored != s_crc:
-                if mi > 0:
+                if member_no > 0:
                     # Sequential semantics for a bad LATER member are
                     # rollback-to-boundary, not raise — defer to it.
                     return None
                 raise Bz2CrcError(
                     f"stream CRC mismatch: {stored:#x} != {s_crc:#x}"
                 )
-        mi += 1
-        if i < n:
-            # Next member must begin at the very next byte boundary.
-            next_start = ((pos + 32 + 7) // 8) * 8 + 32
-            if headers[i] != next_start:
-                return None
-        elif _tail_is_memberlike(stream, end_bit):
+        member_no += 1
+        # Next member, if any, must begin at the very next byte boundary.
+        next_start = ((pos + 32 + 7) // 8) * 8 + 32
+        j = bisect.bisect_left(start_bits, next_start)
+        if j < len(start_bits) and start_bits[j] == next_start:
+            cur = next_start
+            continue
+        if any(s > end_bit for s in start_bits):
+            # A member-like magic BEYOND the final chain end that is not
+            # at the expected abutment (junk between members, or a stray
+            # magic in trailing junk): the sequential decoder owns those
+            # semantics.
+            return None
+        if _tail_is_memberlike(stream, end_bit):
             # Truncated magic or an empty member after the last block:
             # the sequential decoder knows those semantics.
             return None
         # Non-magic junk after the final member is ignorable (sequential
         # decode_stream parity).
-    return b"".join(out)
+        return b"".join(out)
 
 
 def recover(stream: bytes, verify_crc: bool = True) -> tuple[bytes, int, int]:

@@ -61,17 +61,25 @@ def test_driver_rejects_garbage(rng):
         decompress(b"not a bzip2 stream at all")
 
 
-def test_parallel_decode_falls_back_on_spurious_marker(rng):
+def test_parallel_decode_salvages_spurious_marker(rng):
     # A valid >=1MiB stream followed by junk containing the 48-bit block
-    # marker: the optimistic scan finds a bogus header, the worker fails,
-    # and decompress() must fall back to sequential decode of the real data.
+    # marker: the optimistic scan finds a bogus header, but the chain walk
+    # (blocks abut bit-exactly) never visits it — the parallel path decodes
+    # the real data directly instead of paying the round-4-flagged O(2x)
+    # restart (sequential parity: non-magic tail junk is ignorable).
     from bz2tpu.runtime.decompressor import _decompress_parallel
 
     data = make_corpus(rng, "text", 3_000_000)
     comp = stdlib_bz2.compress(data, 1)
     junk = comp + bytes.fromhex("314159265359") + b"\x00" * 6
-    assert _decompress_parallel(junk, True) is None  # signals fallback
+    assert _decompress_parallel(junk, True) == data  # no fallback needed
     assert decompress(junk) == data
+    # A member-like magic in the tail still defers to sequential (it owns
+    # empty-member/truncation semantics).
+    memberish = comp + b"BZh1" + bytes.fromhex("314159265359")
+    assert _decompress_parallel(memberish, True) is None
+    with pytest.raises(ValueError):
+        decompress(memberish)
 
 
 def test_stream_short_reads(rng):
