@@ -183,18 +183,21 @@ def _rerank_kernel(n_keys: int, tile_rows: int, n_tiles: int, *refs):
     first = (row == 0) & (lane == 0)
     last = (row == tile_rows - 1) & (lane == _LANES - 1)
 
+    # Head flags live as int32 0/1 vectors: Mosaic cannot roll/broadcast
+    # i1 vectors (it lowers them through an unsupported i8->i1 trunci),
+    # so bools only appear ephemerally inside comparisons.
     ks = [keys[a][:, :] for a in range(n_keys)]
-    head = jnp.zeros((tile_rows, _LANES), jnp.bool_)
-    head0 = jnp.bool_(False)
+    head = jnp.zeros((tile_rows, _LANES), jnp.int32)
+    head0 = jnp.int32(0)
     for a in range(n_keys):
-        head = head | (ks[a] != _shift_back_one(ks[a]))
-        head0 = head0 | (ks[a][0, 0] != carry[a])
+        head = head | jnp.where(ks[a] != _shift_back_one(ks[a]), 1, 0)
+        head0 = head0 | jnp.where(ks[a][0, 0] != carry[a], 1, 0)
     head = jnp.where(first, head0, head)
 
     # Inclusive running max of head positions: lane scan, then row scan,
     # then the cross-tile carry.
     i_global = c * T + row * _LANES + lane
-    m = jnp.where(head, i_global, -1)
+    m = jnp.where(head == 1, i_global, -1)
     s = 1
     while s < _LANES:
         m = jnp.maximum(m, jnp.where(lane >= s, pltpu.roll(m, shift=s, axis=1), -1))
@@ -216,19 +219,19 @@ def _rerank_kernel(n_keys: int, tile_rows: int, n_tiles: int, *refs):
     nxt_in = pltpu.roll(head, shift=_LANES - 1, axis=1)  # head[r, l+1 (mod)]
     nxt_cross = pltpu.roll(nxt_in, shift=tile_rows - 1, axis=0)
     nxt = jnp.where(lane == _LANES - 1, nxt_cross, nxt_in)
-    singles_here = jnp.sum((head & nxt & ~last).astype(jnp.int32))
-    boundary = (carry[n_keys] == 1) & head[0, 0]
-    tail = (c == n_tiles - 1) & head[tile_rows - 1, _LANES - 1]
+    singles_here = jnp.sum(jnp.where(((head & nxt) == 1) & ~last, 1, 0))
+    boundary = (carry[n_keys] == 1) & (head[0, 0] == 1)
+    tail = (c == n_tiles - 1) & (head[tile_rows - 1, _LANES - 1] == 1)
     carry[n_keys + 2] = (
         carry[n_keys + 2]
         + singles_here
-        + boundary.astype(jnp.int32)
-        + tail.astype(jnp.int32)
+        + jnp.where(boundary, 1, 0)
+        + jnp.where(tail, 1, 0)
     )
 
     for a in range(n_keys):
         carry[a] = ks[a][tile_rows - 1, _LANES - 1]
-    carry[n_keys] = head[tile_rows - 1, _LANES - 1].astype(jnp.int32)
+    carry[n_keys] = head[tile_rows - 1, _LANES - 1]
     carry[n_keys + 1] = jnp.maximum(carry[n_keys + 1], pos[tile_rows - 1, _LANES - 1])
 
     @pl.when(c == n_tiles - 1)

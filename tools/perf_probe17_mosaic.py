@@ -181,6 +181,94 @@ def main() -> int:
 
     attempt("bitonic_sort3_2e20_compile_run", run_sort9_3)
 
+    # VMEM edge: the 2^20 shapes exceed the v5e 16 MB scoped limit
+    # (measured 20 MB at 2 arrays, 24 MB at 3). 2^19 covers levels <= 4.
+    n5 = 500_000  # level-5 block, pads to 2^19
+    keys5 = jax.device_put(
+        jnp.asarray(rng.integers(0, 1 << 20, n5, dtype=np.int32))
+    )
+    iota5 = jnp.arange(n5, dtype=jnp.int32)
+    s15 = jnp.roll(keys5, -1)
+
+    def run_sort5_3():
+        t0 = time.time()
+        a, b, c = pbwt.bitonic_sort_pallas((keys5, s15, iota5))
+        a.block_until_ready()
+        first = round(time.time() - t0, 2)
+        walls, xw = [], []
+        for _ in range(3):
+            t0 = time.time()
+            a, b, c = pbwt.bitonic_sort_pallas((keys5, s15, iota5))
+            a.block_until_ready()
+            walls.append(round(time.time() - t0, 4))
+            t0 = time.time()
+            r = jax.jit(lambda x, y, z: jax.lax.sort((x, y, z), num_keys=3))(
+                keys5, s15, iota5
+            )
+            r[0].block_until_ready()
+            xw.append(round(time.time() - t0, 4))
+        return {"first_call": first, "runs": walls, "xla_sort3_runs": xw}
+
+    attempt("bitonic_sort3_2e19_compile_run", run_sort5_3)
+
+    n2 = 200_000  # level-2 block, pads to 2^18
+    keys2 = jax.device_put(
+        jnp.asarray(rng.integers(0, 1 << 20, n2, dtype=np.int32))
+    )
+    iota2 = jnp.arange(n2, dtype=jnp.int32)
+    s12 = jnp.roll(keys2, -1)
+
+    def run_sort2_3():
+        t0 = time.time()
+        a, b, c = pbwt.bitonic_sort_pallas((keys2, s12, iota2))
+        a.block_until_ready()
+        first = round(time.time() - t0, 2)
+        walls, xw = [], []
+        for _ in range(3):
+            t0 = time.time()
+            a, b, c = pbwt.bitonic_sort_pallas((keys2, s12, iota2))
+            a.block_until_ready()
+            walls.append(round(time.time() - t0, 4))
+            t0 = time.time()
+            r = jax.jit(lambda x, y, z: jax.lax.sort((x, y, z), num_keys=3))(
+                keys2, s12, iota2
+            )
+            r[0].block_until_ready()
+            xw.append(round(time.time() - t0, 4))
+        return {"first_call": first, "runs": walls, "xla_sort3_runs": xw}
+
+    attempt("bitonic_sort3_2e18_compile_run", run_sort2_3)
+
+    # Full BWT at the level-2 shape (largest where the pair-round 3-array
+    # sort fits VMEM).
+    blk2_np = np.frombuffer(make_mixed_corpus(n2), dtype=np.uint8).copy()
+    blk2 = jax.device_put(jnp.asarray(blk2_np))
+
+    def run_full2():
+        last_x, ptr_x = xbwt.bwt_encode(blk2, jnp.int32(n2), capacity=n2)
+        last_x.block_until_ready()
+        t0 = time.time()
+        last_p, ptr_p = pbwt.bwt_encode_pallas(blk2, jnp.int32(n2), capacity=n2)
+        last_p.block_until_ready()
+        compile_run = round(time.time() - t0, 2)
+        match = bool(
+            jnp.array_equal(last_p, last_x) & (int(ptr_p) == int(ptr_x))
+        )
+        walls, xw = [], []
+        for _ in range(3):
+            t0 = time.time()
+            lp, _ = pbwt.bwt_encode_pallas(blk2, jnp.int32(n2), capacity=n2)
+            lp.block_until_ready()
+            walls.append(round(time.time() - t0, 3))
+            t0 = time.time()
+            lx, _ = xbwt.bwt_encode(blk2, jnp.int32(n2), capacity=n2)
+            lx.block_until_ready()
+            xw.append(round(time.time() - t0, 3))
+        return {"bit_identical": match, "first_call": compile_run,
+                "pallas_runs": walls, "xla_runs": xw}
+
+    attempt("bwt_full_200k_vs_xla", run_full2)
+
     rec("done", t=time.time())
     return 0
 
