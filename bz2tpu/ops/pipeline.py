@@ -140,6 +140,36 @@ def huff_pack_stage(symbols, n_sym, freqs, n_in_use, orig_ptr, used, crcs):
     return jax.vmap(one)(symbols, n_sym, freqs, n_in_use, orig_ptr, used, crcs)
 
 
+# Compact-width huff+pack (round 5): MTF+RLE2 output is typically 1.5-3x
+# shorter than the padded (capacity + 2) symbol domain, yet the Huffman
+# group histogram and the whole pack (cumsum + 2 gathers + 2 scatter-adds)
+# ran over the FULL domain. Slicing the symbol batch to a quantized width
+# >= max(n_sym) before huff_pack_stage cuts that stage's element traffic
+# proportionally with BIT-IDENTICAL output (positions >= n_sym are -1
+# padding that contributes 0 bits either way; the header's selector slots
+# shrink with max_selectors(width) but slots beyond n_selectors carry 0
+# bits). Widths quantize to eighths of the full domain so at most 7
+# programs per capacity ever compile (each distinct shape is a cached
+# multi-minute compile on the remote terminal).
+_COMPACT_PACK = os.environ.get("BZ2TPU_COMPACT_PACK", "1") == "1"
+_WIDTH_EIGHTHS = (2, 3, 4, 5, 6, 8)
+
+
+def huff_width(capacity: int, max_nsym: int) -> int:
+    """Smallest ladder width (eighths of capacity + 2) covering max_nsym."""
+    full = capacity + 2
+    for k in _WIDTH_EIGHTHS:
+        w = (full * k + 7) // 8
+        if w >= max_nsym:
+            return w
+    return full
+
+
+@functools.lru_cache(maxsize=None)
+def _sym_slicer(width: int):
+    return jax.jit(lambda s: jax.lax.slice_in_dim(s, 0, width, axis=-1))
+
+
 def encode_blocks_staged(blocks, ns, crcs, *, mtf_chunk: int = 4096):
     """Same result pytree as encode_blocks (plus 'meta'), via staged jits.
 
@@ -148,8 +178,17 @@ def encode_blocks_staged(blocks, ns, crcs, *, mtf_chunk: int = 4096):
     BZ2TPU_AOT_DIR) pre-installs the executables on fresh machines."""
     last, orig_ptr = bwt_stage(blocks, ns)
     mtf = mtf_stage(last, ns, mtf_chunk=mtf_chunk)
+    symbols = mtf["symbols"]
+    if _COMPACT_PACK:
+        # One small scalar fetch per batch (~an RPC); the device executes
+        # in order, so the previous batch's D2H still overlaps this
+        # batch's huff+pack dispatch (runtime/compressor.py async notes).
+        max_nsym = int(jnp.max(mtf["n_sym"]))
+        width = huff_width(blocks.shape[-1], max_nsym)
+        if width < symbols.shape[-1]:
+            symbols = _sym_slicer(width)(symbols)
     out = huff_pack_stage(
-        mtf["symbols"], mtf["n_sym"], mtf["freqs"], mtf["n_in_use"], orig_ptr,
+        symbols, mtf["n_sym"], mtf["freqs"], mtf["n_in_use"], orig_ptr,
         mtf["used"], crcs,
     )
     out = dict(out)
