@@ -279,7 +279,7 @@ def _mtf_ranks_batch(
     return ranks[:, :cap]
 
 
-def _rle2_emit(
+def _rle2_plan(
     cranks: jnp.ndarray,
     cidx: jnp.ndarray,
     m: jnp.ndarray,
@@ -287,13 +287,10 @@ def _rle2_emit(
     used: jnp.ndarray,
     n_in_use: jnp.ndarray,
 ):
-    """RLE2 emission in the collapsed domain (one block).
-
-    Emission is scatter-free on the output side: span-start markers fill
-    forward (scatter + cummax), then each output position decodes from two
-    packed int32 gathers — (offset<<9 | rank+1) and run+1 — halving the
-    round-3 form's four (cap,)-sized gathers (offsets/mdig/zp1/cranks);
-    mdig re-derives exactly from run+1 via lax.clz bit-length.
+    """Collapsed-domain RLE2 planning (one block): every array the
+    output-domain emission needs, with NO output-domain pass — so the
+    emission itself can run over a compact width >= n_sym instead of the
+    full block capacity (ops/pipeline.py round-5 compact-width note).
     """
     cap = cranks.shape[0]
     k_iota = jnp.arange(cap, dtype=jnp.int32)
@@ -319,36 +316,17 @@ def _rle2_emit(
     offsets = jnp.cumsum(emit) - emit
     total = offsets[-1] + emit[-1]
 
-    # Output position j belongs to the collapsed position k whose span
-    # [offsets[k], offsets[k]+emit[k]) holds j — recovered by filling
-    # span-start markers forward (one small scatter + cummax); within the
-    # span the per-k payload arrives as TWO packed int32 gathers
-    # ((offsets<<9 | rank+1) and run+1) instead of the round-3 form's four
-    # — gathers are ~2.3x an elementwise pass on this backend
-    # (tools/probe8_out.jsonl). A single int64 fill word would drop the
-    # gathers entirely but x64 is disabled jax-wide.
     has_emit = k_valid & (emit > 0)
-    pos = jnp.where(has_emit, offsets, cap)
-    k_of = jnp.full(cap + 1, 0, jnp.int32).at[pos].max(
-        jnp.where(has_emit, k_iota, 0)
-    )[:cap]
-    k_of = lax.cummax(k_of)
+    # Scatter targets for the span-start fill: positions are < total (in
+    # bounds at ANY output width >= n_sym); dead slots carry an
+    # out-of-range sentinel dropped by the emission's mode="drop" scatter.
+    pos = jnp.where(has_emit, offsets, jnp.int32(1 << 30))
+    kval = jnp.where(has_emit, k_iota, 0)
     w1 = (offsets << 9) | (cranks + 1)  # 21 + 9 bits
-    w1_j = w1[k_of]
-    zp1_j = zp1[k_of]
-    t_of = k_iota - (w1_j >> 9)
-    mdig_j = 31 - lax.clz(jnp.maximum(zp1_j, 1))
-    body_val = jnp.where(
-        t_of < mdig_j,
-        (zp1_j >> t_of) & 1,  # RUNA/RUNB digit t of the preceding run
-        w1_j & 0x1FF,  # the symbol (rank+1), after its run digits
-    )
-    out = jnp.full(cap + 2 + _MAX_RUN_DIGITS + 1, -1, jnp.int32)
-    otrash = out.shape[0] - 1
-    out = out.at[:cap].set(jnp.where(k_iota < total, body_val, -1))
-    # Trailing run digits + EOB, written as one small dynamic slice at the
-    # end. r0_zero with m == 1 means the whole block is one symbol: the run
-    # is tail_gap + 1 zeros (position 0 included) and no symbol was emitted.
+
+    # Trailing run digits + EOB. r0_zero with m == 1 means the whole block
+    # is one symbol: the run is tail_gap + 1 zeros (position 0 included)
+    # and no symbol was emitted.
     tz = jnp.where((m == 1) & r0_zero, tail_gap + 1, tail_gap)
     tzp1 = tz + 1
     tdig = 31 - lax.clz(jnp.maximum(tzp1, 1))
@@ -359,15 +337,80 @@ def _rle2_emit(
         (tzp1 >> t_lane) & 1,
         jnp.where(t_lane == tdig, eob, -1),
     )
-    out = lax.dynamic_update_slice(out, tail_vals, (total,))
-    n_sym = total + tdig + 1
+    return {
+        "w1": w1,
+        "zp1": zp1,
+        "pos": pos,
+        "kval": kval,
+        "total": total,
+        "tail_vals": tail_vals,
+        "n_sym": total + tdig + 1,
+        "used": used,
+        "n_in_use": n_in_use,
+    }
+
+
+def _rle2_out(plan: dict, width: int):
+    """Output-domain RLE2 emission over a static ``width`` >= n_sym.
+
+    Emission is scatter-free on the output side: span-start markers fill
+    forward (scatter + cummax), then each output position decodes from two
+    packed int32 gathers — (offset<<9 | rank+1) and run+1 — halving the
+    round-3 form's four gathers; mdig re-derives exactly from run+1 via
+    lax.clz bit-length. Every output-domain pass here scales with
+    ``width``, so the compact pipeline hands in the quantized batch width
+    instead of capacity + 2. Returns (symbols (width,), freqs (258,)).
+    """
+    j_iota = jnp.arange(width, dtype=jnp.int32)
+    # Output position j belongs to the collapsed position k whose span
+    # [offsets[k], offsets[k]+emit[k]) holds j — recovered by filling
+    # span-start markers forward (one scatter + cummax); within the span
+    # the per-k payload arrives as TWO packed int32 gathers — gathers are
+    # ~2.3x an elementwise pass on this backend (tools/probe8_out.jsonl).
+    # A single int64 fill word would drop the gathers entirely but x64 is
+    # disabled jax-wide.
+    k_of = jnp.zeros(width + 1, jnp.int32).at[plan["pos"]].max(
+        plan["kval"], mode="drop"
+    )[:width]
+    k_of = lax.cummax(k_of)
+    w1_j = plan["w1"][k_of]
+    zp1_j = plan["zp1"][k_of]
+    t_of = j_iota - (w1_j >> 9)
+    mdig_j = 31 - lax.clz(jnp.maximum(zp1_j, 1))
+    body_val = jnp.where(
+        t_of < mdig_j,
+        (zp1_j >> t_of) & 1,  # RUNA/RUNB digit t of the preceding run
+        w1_j & 0x1FF,  # the symbol (rank+1), after its run digits
+    )
+    total = plan["total"]
+    out = jnp.full(width + _MAX_RUN_DIGITS + 2, -1, jnp.int32)
+    otrash = out.shape[0] - 1
+    out = out.at[:width].set(jnp.where(j_iota < total, body_val, -1))
+    # Tail digits + EOB as one small dynamic slice at the end.
+    out = lax.dynamic_update_slice(out, plan["tail_vals"], (total,))
     out = out.at[otrash].set(-1)
-    out = out[: cap + 2]
+    out = out[:width]
 
     freqs = _hist_by_sort(jnp.where(out >= 0, out, 258), 258)
+    return out, freqs
+
+
+def _rle2_emit(
+    cranks: jnp.ndarray,
+    cidx: jnp.ndarray,
+    m: jnp.ndarray,
+    n: jnp.ndarray,
+    used: jnp.ndarray,
+    n_in_use: jnp.ndarray,
+):
+    """RLE2 emission at the full (cap + 2) width: plan + out composed —
+    the single source of truth shared with the compact pipeline."""
+    cap = cranks.shape[0]
+    plan = _rle2_plan(cranks, cidx, m, n, used, n_in_use)
+    out, freqs = _rle2_out(plan, cap + 2)
     return {
         "symbols": out,
-        "n_sym": n_sym,
+        "n_sym": plan["n_sym"],
         "used": used,
         "n_in_use": n_in_use,
         "freqs": freqs,
@@ -410,6 +453,32 @@ def mtf_rle2_encode(
         cranks = _mtf_ranks_collapsed(cseq, m, n_in_use, chunk)
 
     return _rle2_emit(cranks, cidx, m, n, used, n_in_use)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "use_pallas"))
+def mtf_rle2_plan(
+    last: jnp.ndarray,
+    n: jnp.ndarray,
+    *,
+    chunk: int = 4096,
+    use_pallas: bool = _USE_PALLAS_DEFAULT,
+):
+    """Collapse + MTF ranks + collapsed-domain RLE2 plan for one block —
+    ``mtf_rle2_encode`` minus the output-domain emission, which the
+    compact pipeline runs later at a quantized width >= n_sym
+    (ops/pipeline.emit_huff_pack_stage). Returns the _rle2_plan pytree."""
+    if chunk > 32768:
+        raise ValueError(f"mtf chunk must be <= 32768, got {chunk}")
+    cseq, cidx, m, used, n_in_use = _collapse(last, n)
+
+    if use_pallas:
+        from bz2tpu.ops.mtf_pallas import mtf_ranks_pallas
+
+        cranks = mtf_ranks_pallas(cseq, n_in_use, m=m, chunk=min(chunk, 2048))
+    else:
+        cranks = _mtf_ranks_collapsed(cseq, m, n_in_use, chunk)
+
+    return _rle2_plan(cranks, cidx, m, n, used, n_in_use)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))

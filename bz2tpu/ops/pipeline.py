@@ -152,6 +152,10 @@ def huff_pack_stage(symbols, n_sym, freqs, n_in_use, orig_ptr, used, crcs):
 # programs per capacity ever compile (each distinct shape is a cached
 # multi-minute compile on the remote terminal).
 _COMPACT_PACK = os.environ.get("BZ2TPU_COMPACT_PACK", "1") == "1"
+# Sub-toggle: also run the RLE2 output-domain emission at the compact
+# width (ops/mtf._rle2_out) inside the pack program, instead of at full
+# width inside the MTF stage. BZ2TPU_COMPACT_PACK=0 disables both.
+_COMPACT_EMIT = os.environ.get("BZ2TPU_COMPACT_EMIT", "1") == "1"
 _WIDTH_EIGHTHS = (2, 3, 4, 5, 6, 8)
 
 
@@ -170,6 +174,51 @@ def _sym_slicer(width: int):
     return jax.jit(lambda s: jax.lax.slice_in_dim(s, 0, width, axis=-1))
 
 
+@functools.partial(jax.jit, static_argnames=("mtf_chunk",))
+def mtf_plan_stage(last, ns, *, mtf_chunk: int = 4096):
+    """MTF ranks + collapsed-domain RLE2 plan (no output-domain pass):
+    the compact pipeline's replacement for mtf_stage. Returns the vmapped
+    ops/mtf._rle2_plan pytree (w1/zp1/pos/kval/total/tail_vals/n_sym/
+    used/n_in_use)."""
+    from bz2tpu.ops.mtf import mtf_rle2_plan
+
+    return jax.vmap(lambda l, n: mtf_rle2_plan(l, n, chunk=mtf_chunk))(last, ns)
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
+def emit_huff_pack_stage(plan, orig_ptr, crcs, *, width: int):
+    """RLE2 emission + Huffman planning + COMPLETE block emission, all at
+    the compact ``width`` (>= the batch's max n_sym): every output-domain
+    pass of the emission, the group histogram, and the whole pack run
+    over ``width`` elements instead of capacity + 2. Bit-identical to the
+    full-width path (tests/test_compact_pack.py)."""
+    from bz2tpu.ops.mtf import _rle2_out
+
+    maxsel = max_selectors(width - 2)
+
+    def one(p, optr, crc):
+        sym, freqs = _rle2_out(p, width)
+        hp = huffman_assign(sym, p["n_sym"], freqs, p["n_in_use"], maxsel=maxsel)
+        words, total_bits = pack_block(
+            sym, hp["selectors"], hp["lengths"], hp["codes"],
+            crc, optr, p["used"], hp["n_groups"], hp["n_selectors"],
+            hp["selector_mtf"], maxsel=maxsel,
+        )
+        meta = jnp.stack(
+            [optr, p["n_sym"], p["n_in_use"], hp["n_groups"],
+             hp["n_selectors"], total_bits]
+        ).astype(jnp.int32)
+        return {
+            "n_groups": hp["n_groups"],
+            "n_selectors": hp["n_selectors"],
+            "words": words,
+            "total_bits": total_bits,
+            "meta": meta,
+        }
+
+    return jax.vmap(one)(plan, orig_ptr, crcs)
+
+
 def encode_blocks_staged(blocks, ns, crcs, *, mtf_chunk: int = 4096):
     """Same result pytree as encode_blocks (plus 'meta'), via staged jits.
 
@@ -177,12 +226,22 @@ def encode_blocks_staged(blocks, ns, crcs, *, mtf_chunk: int = 4096):
     covers this machine, and a shipped AOT artifact (utils/aot.py,
     BZ2TPU_AOT_DIR) pre-installs the executables on fresh machines."""
     last, orig_ptr = bwt_stage(blocks, ns)
+    if _COMPACT_PACK and _COMPACT_EMIT and not _BATCH_MTF:
+        plan = mtf_plan_stage(last, ns, mtf_chunk=mtf_chunk)
+        # One small scalar fetch per batch (~an RPC); the device executes
+        # in order, so the previous batch's D2H still overlaps this
+        # batch's emit+huff+pack dispatch (runtime/compressor.py async
+        # notes).
+        width = huff_width(blocks.shape[-1], int(jnp.max(plan["n_sym"])))
+        out = dict(emit_huff_pack_stage(plan, orig_ptr, crcs, width=width))
+        out["orig_ptr"] = orig_ptr
+        out["used"] = plan["used"]
+        out["n_sym"] = plan["n_sym"]
+        out["n_in_use"] = plan["n_in_use"]
+        return out
     mtf = mtf_stage(last, ns, mtf_chunk=mtf_chunk)
     symbols = mtf["symbols"]
     if _COMPACT_PACK:
-        # One small scalar fetch per batch (~an RPC); the device executes
-        # in order, so the previous batch's D2H still overlaps this
-        # batch's huff+pack dispatch (runtime/compressor.py async notes).
         max_nsym = int(jnp.max(mtf["n_sym"]))
         width = huff_width(blocks.shape[-1], max_nsym)
         if width < symbols.shape[-1]:
@@ -197,3 +256,39 @@ def encode_blocks_staged(blocks, ns, crcs, *, mtf_chunk: int = 4096):
     out["n_sym"] = mtf["n_sym"]
     out["n_in_use"] = mtf["n_in_use"]
     return out
+
+
+def prime_width_programs(batch: int, capacity: int) -> None:
+    """Compile every compact-width stage variant the driver can dispatch
+    at (batch, capacity), into the active compilation cache (called by
+    utils/jaxenv.prime so shipped AOT artifacts keep their zero-compile
+    promise — the random prime corpus only ever lands on the full rung).
+    Runs whichever stage the current flags select."""
+    if not _COMPACT_PACK:
+        return
+
+    from bz2tpu.ops.emit import concat_block_words
+
+    blocks = jnp.zeros((batch, capacity), jnp.uint8)
+    ns = jnp.ones(batch, jnp.int32)
+    crcs = jnp.zeros(batch, jnp.uint32)
+    last, orig_ptr = bwt_stage(blocks, ns)
+    full = capacity + 2
+    compact_emit = _COMPACT_EMIT and not _BATCH_MTF
+    plan = mtf_plan_stage(last, ns) if compact_emit else None
+    mtf = None if compact_emit else mtf_stage(last, ns)
+    for k in _WIDTH_EIGHTHS:
+        w = (full * k + 7) // 8
+        if w >= full:
+            continue  # the full rung compiles via prime's real compress
+        if compact_emit:
+            out = emit_huff_pack_stage(plan, orig_ptr, crcs, width=w)
+        else:
+            out = huff_pack_stage(
+                _sym_slicer(w)(mtf["symbols"]), mtf["n_sym"], mtf["freqs"],
+                mtf["n_in_use"], orig_ptr, mtf["used"], crcs,
+            )
+        cat = concat_block_words(
+            out["words"], out["meta"][:, 5].astype(jnp.int32)
+        )
+        jax.block_until_ready(cat)

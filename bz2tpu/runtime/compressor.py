@@ -284,23 +284,55 @@ def compress_device_intake(
     return packed.tobytes()
 
 
+@functools.lru_cache(maxsize=None)
+def _pair_fetch():
+    """One program stacking two scalars: the previous batch's total bits
+    and the current batch's max n_sym leave the device in ONE RPC."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(
+        lambda a, b: jnp.stack([a.astype(jnp.int32), b.astype(jnp.int32)])
+    )
+
+
+def _fetch_cat_words(cat, total: int) -> np.ndarray:
+    nw = (total + 31) // 32
+    padded = _SLICE_GRANULE
+    while padded < nw:
+        padded *= 2
+    padded = min(padded, cat.shape[0])
+    return np.asarray(_word_slicer_1d(padded)(cat))[:nw]
+
+
 def _encode_batches_concat(blocks: list[Rle1Block], capacity: int, batch: int):
     """Like _encode_batches but the batch's block bitstreams concatenate ON
     DEVICE (ops/emit.concat_block_words): yields per-BATCH
     (bytes_be, nbits) — one scalar fetch + one sliced words fetch per
     batch, zero host bit work (default ON; BZ2TPU_DEVICE_STITCH=0
-    restores the per-block host stitch)."""
+    restores the per-block host stitch).
+
+    With the compact-width pipeline (ops/pipeline round-5 note) the
+    batch's max n_sym must reach the host BEFORE the emit+huff+pack
+    dispatch; fetching it separately costs one extra RPC per batch
+    (measured a net LOSS at level 1: 15 batches x ~30-60 ms,
+    tools/probe19_out.jsonl). Here it rides the scalar RPC the stitch
+    already pays: one (2,) fetch carries the PREVIOUS batch's total bits
+    and the CURRENT batch's max n_sym, keeping the per-batch RPC count
+    identical to the full-width driver.
+    """
     import jax.numpy as jnp
 
+    from bz2tpu.ops import pipeline as _pipe
     from bz2tpu.ops.emit import concat_block_words
-    from bz2tpu.ops.pipeline import encode_blocks_staged
     from bz2tpu.utils.jaxenv import setup_compilation_cache
 
     setup_compilation_cache()
     n_blocks = len(blocks)
     bases = list(range(0, n_blocks, batch))
+    compact = _pipe._COMPACT_PACK and _pipe._COMPACT_EMIT and not _pipe._BATCH_MTF
 
-    def dispatch(base):
+    def load(base):
         chunk = blocks[base : base + batch]
         buf = np.zeros((batch, capacity), dtype=np.uint8)
         ns = np.ones(batch, dtype=np.int32)
@@ -309,26 +341,65 @@ def _encode_batches_concat(blocks: list[Rle1Block], capacity: int, batch: int):
             buf[i, : blk.data.size] = blk.data
             ns[i] = blk.data.size
             crcs[i] = blk.crc
-        out = encode_blocks_staged(jnp.asarray(buf), jnp.asarray(ns), jnp.asarray(crcs))
+        return len(chunk), jnp.asarray(buf), jnp.asarray(ns), jnp.asarray(crcs)
+
+    def concat(out, n_chunk):
         bits = out["meta"][:, 5]
         # Padding rows must contribute 0 bits to the concatenation.
-        live = jnp.arange(batch) < len(chunk)
+        live = jnp.arange(batch) < n_chunk
         return concat_block_words(out["words"], jnp.where(live, bits, 0))
 
-    pending = dispatch(bases[0]) if bases else None
+    if not compact:
+        from bz2tpu.ops.pipeline import encode_blocks_staged
+
+        def dispatch(base):
+            n_chunk, buf, ns, crcs = load(base)
+            return concat(encode_blocks_staged(buf, ns, crcs), n_chunk)
+
+        pending = dispatch(bases[0]) if bases else None
+        for bi in range(len(bases)):
+            cat, total = pending
+            # Launch the next batch before fetching this one (overlap
+            # compute with the device->host transfer).
+            pending = dispatch(bases[bi + 1]) if bi + 1 < len(bases) else None
+            total = int(total)
+            yield _fetch_cat_words(cat, total).astype(">u4").view(np.uint8), total
+        return
+
+    def stage12(base):
+        n_chunk, buf, ns, crcs = load(base)
+        last, orig_ptr = _pipe.bwt_stage(buf, ns)
+        plan = _pipe.mtf_plan_stage(last, ns)
+        return n_chunk, plan, orig_ptr, crcs, jnp.max(plan["n_sym"])
+
+    pend12 = stage12(bases[0]) if bases else None
+    prev = None  # (cat_dev, total_dev)
     for bi in range(len(bases)):
-        cat, total = pending
-        # Launch the next batch before fetching this one (overlap compute
-        # with the device->host transfer, like _encode_batches).
-        pending = dispatch(bases[bi + 1]) if bi + 1 < len(bases) else None
-        total = int(total)
-        nw = (total + 31) // 32
-        padded = _SLICE_GRANULE
-        while padded < nw:
-            padded *= 2
-        padded = min(padded, cat.shape[0])
-        row = np.asarray(_word_slicer_1d(padded)(cat))[:nw]
-        yield row.astype(">u4").view(np.uint8), total
+        n_chunk, plan, orig_ptr, crcs, nsym_max = pend12
+        # Enqueue the tiny pair program BEFORE the next batch's heavy
+        # stages: the device executes in dispatch order, so a later spot
+        # in the queue would stall this batch's width decision behind the
+        # whole next BWT+MTF.
+        pair_dev = _pair_fetch()(prev[1], nsym_max) if prev is not None else None
+        pend12 = stage12(bases[bi + 1]) if bi + 1 < len(bases) else None
+        if pair_dev is None:
+            mx = int(nsym_max)
+        else:
+            pair = np.asarray(pair_dev)
+            total_prev, mx = int(pair[0]), int(pair[1])
+        width = _pipe.huff_width(capacity, mx)
+        out = _pipe.emit_huff_pack_stage(plan, orig_ptr, crcs, width=width)
+        cur = concat(out, n_chunk)
+        if prev is not None:
+            # Previous batch's words transfer overlaps this batch's
+            # emit+huff+pack execution.
+            yield _fetch_cat_words(prev[0], total_prev).astype(">u4").view(
+                np.uint8
+            ), total_prev
+        prev = cur
+    if prev is not None:
+        total = int(prev[1])
+        yield _fetch_cat_words(prev[0], total).astype(">u4").view(np.uint8), total
 
 
 @functools.lru_cache(maxsize=None)

@@ -85,7 +85,7 @@ def prime(levels=(9,), batch: int | None = None, verbose: bool = True) -> None:
             n = w * C.BLOCK_SIZE_BASE * level - 4096
             data = np.random.default_rng(0).integers(0, 256, n, dtype=np.uint8)
             compress(data, level=level, parallel=b)
-        # Compact-width huff+pack variants (ops/pipeline.huff_width): the
+        # Compact-width stage variants (ops/pipeline.huff_width): the
         # random prime corpus barely collapses under MTF, so the real
         # compress calls above only ever compile the FULL-width rung;
         # text-like corpora land on sub-full rungs. Compile each rung
@@ -93,32 +93,9 @@ def prime(levels=(9,), batch: int | None = None, verbose: bool = True) -> None:
         # dispatch) so a shipped artifact keeps its zero-compile promise.
         # Sub-full rungs at SMALLER pow2 batches are not primed (tiny
         # streams only), same trade as the escalation windows below.
-        import jax
-        import jax.numpy as jnp
+        from bz2tpu.ops.pipeline import prime_width_programs
 
-        from bz2tpu.ops import pipeline as _pipe
-        from bz2tpu.ops.emit import concat_block_words
-
-        cap = C.BLOCK_SIZE_BASE * level
-        full = cap + 2
-        for k in _pipe._WIDTH_EIGHTHS:
-            wq = (full * k + 7) // 8
-            if wq >= full:
-                continue
-            sym = jnp.full((b, wq), -1, jnp.int32).at[:, 0].set(2)
-            out = _pipe.huff_pack_stage(
-                sym,
-                jnp.ones(b, jnp.int32),
-                jnp.zeros((b, 258), jnp.int32).at[:, 2].set(1),
-                jnp.ones(b, jnp.int32),
-                jnp.zeros(b, jnp.int32),
-                jnp.zeros((b, 256), jnp.bool_),
-                jnp.zeros(b, jnp.uint32),
-            )
-            cat = concat_block_words(
-                out["words"], out["meta"][:, 5].astype(jnp.int32)
-            )
-            jax.block_until_ready(cat)
+        prime_width_programs(b, C.BLOCK_SIZE_BASE * level)
         # The --backend device intake program at its BASE chunk window.
         # NOT primed: the 2x/4x/8x escalation windows that highly
         # compressible streams can reach (compressor.py window widening)

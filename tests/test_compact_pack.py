@@ -55,6 +55,30 @@ def test_compact_pack_bit_identical(kind, rng, monkeypatch):
     monkeypatch.setattr(pipeline, "_COMPACT_PACK", False)
     full = compress(data, level=1, parallel=2)
     monkeypatch.setattr(pipeline, "_COMPACT_PACK", True)
-    compact = compress(data, level=1, parallel=2)
-    assert compact == full
-    assert stdlib_bz2.decompress(compact) == data
+    monkeypatch.setattr(pipeline, "_COMPACT_EMIT", False)
+    pack_only = compress(data, level=1, parallel=2)
+    monkeypatch.setattr(pipeline, "_COMPACT_EMIT", True)
+    pack_emit = compress(data, level=1, parallel=2)
+    assert pack_only == full
+    assert pack_emit == full
+    assert stdlib_bz2.decompress(full) == data
+
+
+def test_compact_emit_edge_blocks(rng, monkeypatch):
+    """Single-symbol and run-dominated blocks through the compact-emit
+    path (m == 1 / r0_zero tail handling lives entirely in the plan)."""
+    import bz2 as stdlib_bz2
+
+    from bz2tpu.ops import pipeline
+    from bz2tpu.runtime.compressor import compress
+
+    monkeypatch.setattr(pipeline, "_COMPACT_PACK", True)
+    monkeypatch.setattr(pipeline, "_COMPACT_EMIT", True)
+    for data in (
+        b"a",
+        b"a" * 5000,
+        b"ab" * 3000 + b"c" * 4000,
+        bytes(rng.integers(0, 2, 6000, dtype=np.uint8)),
+    ):
+        out = compress(data, level=1, parallel=2)
+        assert stdlib_bz2.decompress(out) == data
