@@ -19,13 +19,16 @@ BLOCK_SIZE_BASE = 100_000
 MIN_LEVEL = 1
 MAX_LEVEL = 9
 DEFAULT_LEVEL = 9
-# Stock bzip2 stops filling a block this many bytes before capacity so the
-# in-flight RLE1 run can always be flushed (bzlib: nblockMAX = 100000*bs - 20).
-BLOCK_CAPACITY_SLACK = 20
+# Stock bzip2's block-fill threshold (bzlib: nblockMAX = 100000*bs - 19):
+# RLE1 pieces flush while the block output is below this, so the crossing
+# piece can overshoot by up to 4 bytes (true stored maximum: capacity + 4).
+# Verified against libbz2's own block spans (tests/test_native.py).
+BLOCK_CAPACITY_SLACK = 19
 
 
 def block_capacity(level: int) -> int:
-    """Maximum RLE1-encoded bytes stored in one block at this level."""
+    """Stock's block-fill threshold (nblockMAX); blocks may store up to
+    4 bytes more (the crossing RLE1 piece, see BLOCK_CAPACITY_SLACK)."""
     if not MIN_LEVEL <= level <= MAX_LEVEL:
         raise ValueError(f"block size level must be 1..9, got {level}")
     return BLOCK_SIZE_BASE * level - BLOCK_CAPACITY_SLACK

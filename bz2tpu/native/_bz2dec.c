@@ -604,9 +604,19 @@ done:
 /* RLE1 + CRC block splitter (compress-side intake).                   */
 /* Counterpart of the reference's BlockCompressor RLE1 state machine   */
 /* (reference include/BlockCompressor.hpp:69-154) as a single host     */
-/* pass: runs of 4-255 become 4 literals + count byte; blocks are cut  */
-/* at piece boundaries so each starts with fresh run state; the CRC is */
-/* over the ORIGINAL bytes of each block.                              */
+/* pass: runs of 4-255 become 4 literals + count byte; the CRC is over */
+/* the ORIGINAL bytes of each block. Block cuts follow stock bzip2's   */
+/* fill rule EXACTLY (bzlib copy_input_until_stop + the no-flush_RL    */
+/* mid-stream block close, verified against libbz2's own block spans   */
+/* at levels 1-3, tests/test_native.py): pieces flush while the        */
+/* block's output is < nblockMAX = 100000*level - 19, so the crossing  */
+/* piece overshoots by up to 4 bytes; the in-progress run at the exit  */
+/* check carries ENTIRELY into the next block (mid-stream compressBlock*/
+/* runs without flush_RL). Matching stock's boundaries makes every     */
+/* block's content identical to libbz2's, so ratio comparisons are     */
+/* apples-to-apples per block (round 5: the level-6 sweep's +0.006%    */
+/* was entirely boundary drift — on stock's spans our encoder was 291  */
+/* bytes SMALLER than stock).                                          */
 
 static PyObject *py_rle1_split(PyObject *self, PyObject *args) {
     Py_buffer view;
@@ -619,7 +629,7 @@ static PyObject *py_rle1_split(PyObject *self, PyObject *args) {
     }
     const uint8_t *in = (const uint8_t *)view.buf;
     size_t n = (size_t)view.len;
-    size_t cap = (size_t)level * 100000 - 20;
+    size_t cap = (size_t)level * 100000 - 19; /* bzlib nblockMAX */
 
     PyObject *blocks = PyList_New(0);
     uint8_t *out = (uint8_t *)malloc(cap + 8);
@@ -632,13 +642,12 @@ static PyObject *py_rle1_split(PyObject *self, PyObject *args) {
         uint32_t crc = 0xFFFFFFFFu;
         Py_BEGIN_ALLOW_THREADS
         while (i < n) {
+            if (out_len >= cap) break; /* stock: first crossing flush ends the block */
             /* measure the run at i, capped at 255 raw bytes (one piece) */
             uint8_t v = in[i];
             size_t run = 1;
             size_t lim = i + 255 < n ? i + 255 : n;
             while (i + run < lim && in[i + run] == v) run++;
-            size_t piece_out = run >= 4 ? 5 : run;
-            if (out_len + piece_out > cap) break;
             if (run >= 4) {
                 out[out_len] = v; out[out_len + 1] = v;
                 out[out_len + 2] = v; out[out_len + 3] = v;

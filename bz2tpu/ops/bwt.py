@@ -60,6 +60,10 @@ import jax.numpy as jnp
 from jax import lax
 
 _SPARSE_ROUNDS = os.environ.get("BZ2TPU_SPARSE_BWT", "0") == "1"
+# Round-0 depth: 6 chars (two 24-bit keys, 3-operand sort — one fewer
+# quad refinement round) or the round-4 3-char single-key form (A/B
+# lever, tools/perf_probe21_bwt6.py).
+_K0_CHARS = int(os.environ.get("BZ2TPU_BWT_K0", "6"))
 
 
 def _head_positions(head: jnp.ndarray) -> jnp.ndarray:
@@ -90,11 +94,13 @@ def _tied(head: jnp.ndarray) -> jnp.ndarray:
 def round0_keys(data: jnp.ndarray, n: jnp.ndarray, cap: int):
     """Round-0 sort keys: 3 chars in one 24-bit key (padding sorts last).
 
-    Shared by the XLA path below and ops/bwt_pallas.py — the two paths
-    are contractually bit-identical, so the key construction must have
-    exactly one definition. Returns (key0, k0): the (cap,) int32 keys
-    and the established order depth (3, or 1 when n < 4 disables the
-    shifted image).
+    Shared by ops/bwt_pallas.py — the two paths are contractually
+    bit-identical, so the key construction must have exactly one
+    definition. Returns (key0, k0): the (cap,) int32 keys and the
+    established order depth (3, or 1 when n < 4 disables the shifted
+    image). The XLA path below starts from the DEEPER 6-char double-key
+    round 0 (round0_keys6) and uses this form only as its small-n
+    fallback ingredient.
     """
     iota = jnp.arange(cap, dtype=jnp.int32)
     valid = iota < n
@@ -107,6 +113,32 @@ def round0_keys(data: jnp.ndarray, n: jnp.ndarray, cap: int):
     key0 = jnp.where(valid, key24, (1 << 24) + iota)
     k0 = jnp.where(small, jnp.int32(1), jnp.int32(3))
     return key0, k0
+
+
+def round0_keys6(data: jnp.ndarray, n: jnp.ndarray, cap: int):
+    """Round-0 keys ranking SIX chars as two 24-bit keys (round-5 rework).
+
+    One extra sort operand buys twice the round-0 depth: the quad ladder
+    then starts at k0 = 6 instead of 3, which removes one full 5-operand
+    refinement round from BOTH the worst case (6*4^8 covers 900k one
+    doubling earlier) and typical text exits. Padding rows carry
+    (2^24 + i, 0): distinct, strictly above every valid key, preserved
+    singleton by every re-rank — same invariant as round0_keys. Blocks
+    with n < 7 (shifted image would alias) fall back to the 1-char key;
+    the refinement rounds take over from k0 = 1.
+    """
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    valid = iota < n
+    ext0 = jnp.concatenate([data, jnp.zeros((8,), jnp.int32)])
+    ext0 = lax.dynamic_update_slice(ext0, data[:8], (n,))
+    ds = [lax.slice(ext0, (j,), (j + cap,)) for j in range(1, 6)]
+    small = n < 7  # shifted image invalid: 1-char key, rounds take over
+    keyA = jnp.where(small, data * 65536, data * 65536 + ds[0] * 256 + ds[1])
+    keyB = jnp.where(small, 0, ds[2] * 65536 + ds[3] * 256 + ds[4])
+    keyA = jnp.where(valid, keyA, (1 << 24) + iota)
+    keyB = jnp.where(valid, keyB, 0)
+    k0 = jnp.where(small, jnp.int32(1), jnp.int32(6))
+    return keyA, keyB, k0
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
@@ -128,17 +160,29 @@ def bwt_encode(block: jnp.ndarray, n: jnp.ndarray, *, capacity: int | None = Non
     valid = iota < n
     data = block.astype(jnp.int32)
 
-    # --- round 0: rank over 3 chars with one 24-bit key (2-operand sort).
-    # The two lookahead chars are contiguous slices of a shifted image:
-    # ext0[j] = data[j mod n] for j < n + 4 (when n >= 4). Padding keys
-    # are 2^24 + i: distinct and strictly above every valid key, an
-    # invariant every re-rank preserves (padding sorts last, stays
-    # singleton, and is never active).
-    key0, k0 = round0_keys(data, n, cap)
-    key_sorted, order = lax.sort((key0, iota), num_keys=1)
-    head = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), key_sorted[1:] != key_sorted[:-1]]
-    )
+    # --- round 0: rank over 6 chars with two 24-bit keys (3-operand
+    # sort, round-5 rework — one extra operand removes one full 5-operand
+    # refinement round). The five lookahead chars are contiguous slices
+    # of a shifted image: ext0[j] = data[j mod n] for j < n + 8 (when
+    # n >= 7). Padding keys are (2^24 + i, 0): distinct and strictly
+    # above every valid key, an invariant every re-rank preserves
+    # (padding sorts last, stays singleton, and is never active).
+    # BZ2TPU_BWT_K0=3 restores the round-4 single-key form (A/B lever).
+    if _K0_CHARS >= 6:
+        keyA, keyB, k0 = round0_keys6(data, n, cap)
+        kA_s, kB_s, order = lax.sort((keyA, keyB, iota), num_keys=2)
+        head = jnp.concatenate(
+            [
+                jnp.ones((1,), jnp.bool_),
+                (kA_s[1:] != kA_s[:-1]) | (kB_s[1:] != kB_s[:-1]),
+            ]
+        )
+    else:
+        key0, k0 = round0_keys(data, n, cap)
+        key_sorted, order = lax.sort((key0, iota), num_keys=1)
+        head = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), key_sorted[1:] != key_sorted[:-1]]
+        )
     rank = _inverse_permute(order, _head_positions(head))
     active = jnp.sum(_tied(head).astype(jnp.int32))
     if _SPARSE_ROUNDS:

@@ -234,7 +234,7 @@ def huffman_assign(
     selectors = jnp.zeros(maxsel, jnp.int32)
 
     def iterate(state):
-        i, lengths, selectors, _ = state
+        i, lengths, selectors, _, snap = state
         cost = gfreq_f @ lengths.astype(jnp.float32).T  # (maxsel, 6), exact
         cost = jnp.where(table_mask[None, :], cost, jnp.float32(jnp.inf))
         new_sel = jnp.argmin(cost, axis=1).astype(jnp.int32)
@@ -248,15 +248,63 @@ def huffman_assign(
         ).astype(jnp.float32)
         rfreq = (onehot.T @ gfreq_f).astype(jnp.int32)  # (6, 258), exact
         lengths = jnp.where(done, lengths, code_lengths_tables(rfreq, alpha))
-        return i + 1, lengths, new_sel, done
+        # Snapshot stock's operating point: the state after exactly 4
+        # refinement iterations (libbz2 BZ_N_ITERS, kernel.cpp:2908-2934
+        # runs the loop a fixed 4 times). Converging PAST it minimizes
+        # SYMBOL bits monotonically but can grow the selector-MTF unary
+        # stream and the delta-coded table headers — level 6 of the
+        # blueprint sweep measured the converged point 0.006% ABOVE
+        # stock. The end of huffman_assign picks whichever candidate has
+        # fewer TOTAL bits, restoring ratio <= stock wherever the
+        # iter-4 state matches stock's.
+        take = i == 3
+        snap = (
+            jnp.where(take, lengths, snap[0]),
+            jnp.where(take, new_sel, snap[1]),
+        )
+        return i + 1, lengths, new_sel, done, snap
 
     def not_converged(state):
-        i, _, _, done = state
+        i, _, _, done, _ = state
         return (i < C.HUFFMAN_REFINE_ITERS) & ~done
 
-    _, lengths, selectors, _ = lax.while_loop(
-        not_converged, iterate, (jnp.int32(0), lengths, selectors, jnp.bool_(False))
+    i_fin, lengths, selectors, _, snap = lax.while_loop(
+        not_converged,
+        iterate,
+        (jnp.int32(0), lengths, selectors, jnp.bool_(False),
+         (lengths, selectors)),
     )
+    # Early convergence (exit before 5 iterations ran) means the iter-4
+    # state IS the converged state; the placeholder snapshot is stale
+    # seeding then, so fall back to the converged candidate.
+    snapped = i_fin > 3
+    lengths4 = jnp.where(snapped, snap[0], lengths)
+    selectors4 = jnp.where(snapped, snap[1], selectors)
+
+    def total_bits(lg, sel):
+        """Exact stream bits that DEPEND on (lengths, selectors): symbol
+        codes + selector unaries + delta-coded table rows (the emission
+        formulas of ops/emit.block_header_parts, bit-for-bit). All int32:
+        the matmul's per-table counts stay < 2^24 (exact in f32) but the
+        bit TOTAL reaches ~1.8e7 * 20, which f32 would round."""
+        onehot = (
+            (sel[:, None] == jnp.arange(_NTAB)[None, :]) & group_valid[:, None]
+        ).astype(jnp.float32)
+        rfreq = (onehot.T @ gfreq_f).astype(jnp.int32)  # (6, 258), exact
+        sym_bits = jnp.sum(rfreq * lg)
+        mtf = selector_mtf_ranks(sel, n_sel)
+        sel_bits = jnp.sum(
+            jnp.where(jnp.arange(sel.shape[0]) < n_sel, mtf + 1, 0)
+        )
+        lanes = jnp.arange(_ALPHA, dtype=jnp.int32)
+        tmask = (jnp.arange(_NTAB)[:, None] < n_groups) & (lanes[None, :] < alpha)
+        prev = jnp.concatenate([lg[:, :1], lg[:, :-1]], axis=1)
+        tab_bits = jnp.sum(jnp.where(tmask, 2 * jnp.abs(lg - prev) + 1, 0))
+        return sym_bits + sel_bits + tab_bits
+
+    prefer4 = total_bits(lengths4, selectors4) < total_bits(lengths, selectors)
+    lengths = jnp.where(prefer4, lengths4, lengths)
+    selectors = jnp.where(prefer4, selectors4, selectors)
     codes = canonical_codes(lengths, alpha)
     sel_mtf = selector_mtf_ranks(selectors, n_sel)
     return {

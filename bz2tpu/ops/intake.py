@@ -67,9 +67,11 @@ def device_intake(chunk: jnp.ndarray, length: jnp.ndarray, *, level: int, max_bl
     b_iota = jnp.arange(max_blocks, dtype=jnp.int32)
     b_valid = b_iota < n_blocks
 
-    # Gather each block's RLE1 bytes into its padded row.
+    # Gather each block's RLE1 bytes into its padded row. Rows carry
+    # cap + 4 columns: the crossing piece may overshoot nblockMAX by up
+    # to 4 bytes (stock's fill rule, ops/rle1.block_cuts).
     no = out_capacity(chunk.shape[0])
-    col = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    col = jnp.arange(cap + 4, dtype=jnp.int32)[None, :]
     src = starts_out[:, None] + col
     in_range = col < (out_cuts - starts_out)[:, None]
     rows = jnp.where(

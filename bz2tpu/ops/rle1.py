@@ -126,7 +126,10 @@ def block_cuts(
     cap: int,
     max_blocks: int,
 ):
-    """Greedy capacity packing at piece boundaries (oracle rle1_split).
+    """Stock bzip2's block-fill rule at piece boundaries (oracle
+    rle1_split): a block takes pieces through the FIRST one whose
+    cumulative output reaches ``cap`` (bzlib nblockMAX; the crossing
+    piece overshoots by up to 4 bytes), or the rest when none crosses.
 
     Returns (out_cuts, raw_cuts, n_blocks): block b covers output bytes
     [out_cuts[b-1], out_cuts[b]) and raw bytes [raw_cuts[b-1], raw_cuts[b])
@@ -138,11 +141,11 @@ def block_cuts(
     def body(b, st):
         out_base, out_cuts, raw_cuts, n_blocks = st
         active = out_base < total_out
-        hi = jnp.searchsorted(piece_out_cum, out_base + cap, side="right")
-        hi = jnp.minimum(hi.astype(jnp.int32), n_pieces)
-        new_out = jnp.where(active, piece_out_cum[jnp.maximum(hi - 1, 0)], out_base)
+        hi = jnp.searchsorted(piece_out_cum, out_base + cap, side="left")
+        hi = jnp.minimum(hi.astype(jnp.int32), n_pieces - 1)
+        new_out = jnp.where(active, piece_out_cum[jnp.maximum(hi, 0)], out_base)
         new_raw = jnp.where(
-            active, piece_raw_cum[jnp.maximum(hi - 1, 0)], raw_cuts[jnp.maximum(b - 1, 0)]
+            active, piece_raw_cum[jnp.maximum(hi, 0)], raw_cuts[jnp.maximum(b - 1, 0)]
         )
         prev_raw = jnp.where(b > 0, raw_cuts[jnp.maximum(b - 1, 0)], 0)
         out_cuts = out_cuts.at[b].set(jnp.where(active, new_out, out_base))

@@ -95,10 +95,18 @@ def _ragged_arange(counts: np.ndarray) -> np.ndarray:
 
 
 def rle1_split(data: np.ndarray, level: int) -> list[Rle1Block]:
-    """RLE1-encode `data` and split into blocks of <= block_capacity(level).
+    """RLE1-encode `data` and split into blocks, stock bzip2's fill rule.
 
     CRC is over the *original* bytes of each block (reference
-    BlockCompressor.hpp:137). Blocks are cut at piece boundaries only.
+    BlockCompressor.hpp:137). Cuts follow bzlib EXACTLY (verified against
+    libbz2's own block spans, tests/test_native.py): pieces flush while
+    the block's output is < block_capacity (= nblockMAX, 100000*level -
+    19), so the block ends at the FIRST CROSSING piece — overshoot up to
+    4 bytes — and the in-progress run carries entirely into the next
+    block (stock's mid-stream compressBlock runs WITHOUT flush_RL).
+    Matching stock's boundaries makes every block's content identical to
+    libbz2's (round 5: the level-6 sweep's +0.006% ratio was entirely
+    boundary drift).
     """
     data = np.ascontiguousarray(data, dtype=np.uint8)
     cap = C.block_capacity(level)
@@ -108,17 +116,18 @@ def rle1_split(data: np.ndarray, level: int) -> list[Rle1Block]:
         return blocks
     out_cum = np.cumsum(out_lens)
     raw_cum = np.cumsum(raw_lens)
+    n_pieces = vals.size
     piece0 = 0
     out_base = 0
     raw_base = 0
-    while piece0 < vals.size:
-        # Largest piece range whose cumulative output fits in `cap`.
-        hi = int(np.searchsorted(out_cum, out_base + cap, side="right"))
-        if hi == piece0:  # single piece larger than cap: impossible (<=5 <= cap)
-            raise AssertionError("piece exceeds block capacity")
-        sl = slice(piece0, hi)
+    while piece0 < n_pieces:
+        # First piece whose cumulative output reaches cap (inclusive cut);
+        # no crossing -> the rest is the final block.
+        k = int(np.searchsorted(out_cum, out_base + cap, side="left"))
+        k = min(k, n_pieces - 1)
+        sl = slice(piece0, k + 1)
         block_bytes = _emit_pieces(vals[sl], raw_lens[sl], out_lens[sl])
-        raw_end = int(raw_cum[hi - 1])
+        raw_end = int(raw_cum[k])
         blocks.append(
             Rle1Block(
                 data=block_bytes,
@@ -126,9 +135,9 @@ def rle1_split(data: np.ndarray, level: int) -> list[Rle1Block]:
                 crc=crc32(data[raw_base:raw_end]),
             )
         )
-        out_base = int(out_cum[hi - 1])
+        out_base = int(out_cum[k])
         raw_base = raw_end
-        piece0 = hi
+        piece0 = k + 1
     return blocks
 
 
@@ -360,6 +369,7 @@ def huffman_plan(symbols: np.ndarray, freqs: np.ndarray, alpha_size: int) -> Huf
     np.add.at(gfreq, (np.nonzero(valid)[0], grouped[valid]), 1)
 
     selectors = np.zeros(n_selectors, dtype=np.int32)
+    snap = None  # state after exactly 4 iterations = stock's BZ_N_ITERS point
     for i in range(C.HUFFMAN_REFINE_ITERS):
         cost = gfreq @ lengths.T.astype(np.int64)  # (n_selectors, n_groups)
         new_sel = np.argmin(cost, axis=1).astype(np.int32)
@@ -370,6 +380,30 @@ def huffman_plan(symbols: np.ndarray, freqs: np.ndarray, alpha_size: int) -> Huf
         np.add.at(rfreq, selectors, gfreq)
         for t in range(n_groups):
             lengths[t] = make_code_lengths(rfreq[t])
+        if i == 3:
+            snap = (lengths.copy(), selectors.copy())
+
+    def _plan_bits(lg: np.ndarray, sel: np.ndarray) -> int:
+        """Stream bits that depend on (lengths, selectors): symbol codes +
+        selector unaries + delta-coded table rows — the tie-breaker
+        between the converged point (minimal SYMBOL bits) and stock's
+        4-iteration point (whose headers can be smaller). Must match
+        ops/huffman.huffman_assign's total_bits bit-for-bit."""
+        rf = np.zeros((n_groups, alpha_size), dtype=np.int64)
+        np.add.at(rf, sel, gfreq)
+        sym_bits = int((rf * lg).sum())
+        order = list(range(n_groups))
+        sel_bits = 0
+        for s in sel.tolist():
+            j = order.index(s)
+            sel_bits += j + 1
+            order.insert(0, order.pop(j))
+        prev = np.concatenate([lg[:, :1], lg[:, :-1]], axis=1)
+        tab_bits = int((2 * np.abs(lg - prev) + 1).sum())
+        return sym_bits + sel_bits + tab_bits
+
+    if snap is not None and _plan_bits(*snap) < _plan_bits(lengths, selectors):
+        lengths, selectors = snap
 
     codes = np.stack([assign_canonical_codes(lengths[t]) for t in range(n_groups)])
     return HuffmanPlan(n_groups, selectors, lengths, codes)

@@ -299,3 +299,33 @@ def test_decompress_file_multimember_parallel(tmp_path, rng):
     src.write_bytes(comp)
     decompress_file(str(src), str(dst))
     assert dst.read_bytes() == b"".join(parts)
+
+
+def test_rle1_split_matches_stock_block_spans(rng):
+    """Round 5: our block boundaries must be byte-identical to libbz2's
+    (bzlib nblockMAX = 100000*level - 19, block cut at the FIRST crossing
+    piece, in-progress run carried to the next block). Stock's own spans
+    are extracted by decoding each block of its stream independently."""
+    import numpy as np
+
+    from bz2tpu import native
+    from bz2tpu.oracle.encoder import rle1_split
+
+    seg = lambda n, lo, hi: rng.integers(lo, hi, n, dtype=np.uint8)  # noqa: E731
+    data = np.concatenate([
+        seg(220_000, 97, 123),          # text-ish
+        np.full(130_000, 65, np.uint8),  # one giant run (255-piece chains)
+        seg(150_000, 0, 256),            # incompressible
+        np.repeat(seg(4_000, 0, 4), 60).astype(np.uint8),  # short runs
+    ])
+    for lv in (1, 2, 3):
+        ours = rle1_split(data, lv)
+        nat = native.rle1_split(data.tobytes(), lv)
+        assert [bytes(b) for b, _, _ in nat] == [b.data.tobytes() for b in ours]
+        stock = stdlib_bz2.compress(data.tobytes(), lv)
+        headers, _ = native.scan_blocks(stock)
+        spans = []
+        for h in headers:
+            r = native.decode_block_at(stock, h, lv, False)
+            spans.append(len(r[0]) if isinstance(r, tuple) else len(r))
+        assert spans == [b.raw_length for b in ours], lv
