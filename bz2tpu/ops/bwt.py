@@ -60,10 +60,13 @@ import jax.numpy as jnp
 from jax import lax
 
 _SPARSE_ROUNDS = os.environ.get("BZ2TPU_SPARSE_BWT", "0") == "1"
-# Round-0 depth: 6 chars (two 24-bit keys, 3-operand sort — one fewer
-# quad refinement round) or the round-4 3-char single-key form (A/B
-# lever, tools/perf_probe21_bwt6.py).
-_K0_CHARS = int(os.environ.get("BZ2TPU_BWT_K0", "6"))
+# Round-0 depth. 6 chars (two 24-bit keys, 3-operand sort) buys one
+# fewer quad refinement round, but the extra round-0 operand LOSES
+# end-to-end on this box: 4.71 vs 4.82 MB/s for the 3-char single-key
+# form (tools/probe21_out.jsonl, streams identical) — the early-exit
+# ladder already skips the round the deeper key would have saved on
+# typical blocks. Kept behind BZ2TPU_BWT_K0=6 as a measured negative.
+_K0_CHARS = int(os.environ.get("BZ2TPU_BWT_K0", "3"))
 
 
 def _head_positions(head: jnp.ndarray) -> jnp.ndarray:
@@ -160,14 +163,12 @@ def bwt_encode(block: jnp.ndarray, n: jnp.ndarray, *, capacity: int | None = Non
     valid = iota < n
     data = block.astype(jnp.int32)
 
-    # --- round 0: rank over 6 chars with two 24-bit keys (3-operand
-    # sort, round-5 rework — one extra operand removes one full 5-operand
-    # refinement round). The five lookahead chars are contiguous slices
-    # of a shifted image: ext0[j] = data[j mod n] for j < n + 8 (when
-    # n >= 7). Padding keys are (2^24 + i, 0): distinct and strictly
-    # above every valid key, an invariant every re-rank preserves
-    # (padding sorts last, stays singleton, and is never active).
-    # BZ2TPU_BWT_K0=3 restores the round-4 single-key form (A/B lever).
+    # --- round 0: rank over 3 chars with one 24-bit key (2-operand
+    # sort; lookahead chars are contiguous slices of a shifted image,
+    # padding keys 2^24 + i sort last and stay singleton through every
+    # re-rank). BZ2TPU_BWT_K0=6 switches to the 6-char double-key form —
+    # one fewer quad round but measured SLOWER e2e on this box (see the
+    # _K0_CHARS note above).
     if _K0_CHARS >= 6:
         keyA, keyB, k0 = round0_keys6(data, n, cap)
         kA_s, kB_s, order = lax.sort((keyA, keyB, iota), num_keys=2)

@@ -77,7 +77,8 @@ def test_rle1_pieces_roundtrip(rng):
     assert np.array_equal(decoded, data)
     assert sum(b.raw_length for b in blocks) == data.size
     for b in blocks:
-        assert b.data.size <= C.block_capacity(1)
+        # stock's fill rule: the crossing piece may overshoot by <= 4
+        assert b.data.size <= C.block_capacity(1) + 4
 
 
 def test_bwt_roundtrip(rng):
