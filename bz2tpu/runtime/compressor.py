@@ -254,7 +254,10 @@ def compress_device_intake(
         raw_lens = np.asarray(res["raw_lens"])
         ns_host = np.asarray(res["ns"])
         more = offset + take < arr.size
-        under_full = ns_host[nb - 1] < capacity - C.RLE1_MIN_RUN - 1
+        # Full = reached stock's fill threshold (nblockMAX); comparing
+        # against the padded buffer width (capacity) instead held back
+        # even FULL trailing blocks for a pointless re-scan every chunk.
+        under_full = ns_host[nb - 1] < C.block_capacity(level)
         if more and nb == 1 and under_full and cur_chunk_n < max_chunk_n:
             cur_chunk_n *= 2  # widen the window until the block fills
             continue
