@@ -86,6 +86,13 @@ def blueprint_100mb(nbytes: int = 100_000_000) -> dict:
     sha = hashlib.sha256(data).hexdigest()
     out: dict = {"input_mb": round(nbytes / 1e6, 1), "corpus_sha256": sha}
     compress(data[: nbytes // 50], level=9, parallel=BATCH)  # warm shapes
+    # The 2 MB slice is text-heavy and only compiles a NARROW compact
+    # rung; the timed run's random sections hit wider rungs, and a
+    # first-time multi-minute XLA compile inside the wall craters the
+    # average (seen: 1.56 MB/s vs the sweep's 4.3+). Compile every rung.
+    from bz2tpu.ops.pipeline import prime_width_programs
+
+    prime_width_programs(BATCH, 9 * 100_000)
     t0 = time.time()
     ours = compress(data, level=9, parallel=BATCH)
     out["compress_mb_s"] = round(nbytes / (time.time() - t0) / 1e6, 3)
