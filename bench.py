@@ -149,7 +149,9 @@ for nd in (1, 2, 4, 8):
     B = nd * PER_DEV
     raw = rng.integers(97, 123, B * cap, dtype=np.uint8)
     blocks = rle1_split(raw, level)[:B]
-    batch = np.zeros((B, cap), np.uint8)
+    # cap + 4: the crossing RLE1 piece may overshoot the fill threshold
+    # (stock's rule, format.constants.BLOCK_CAPACITY_SLACK).
+    batch = np.zeros((B, cap + 4), np.uint8)
     ns = np.ones(B, np.int32)
     for i, blk in enumerate(blocks):
         batch[i, : blk.data.size] = blk.data

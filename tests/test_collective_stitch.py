@@ -23,7 +23,7 @@ def _encode_all_blocks(data: bytes, level: int, B: int):
 
     blocks = split_blocks(np.frombuffer(data, np.uint8), level)
     assert len(blocks) <= B
-    cap = C.block_capacity(level)
+    cap = C.block_capacity(level) + 4  # +4: crossing-piece overshoot
     buf = np.zeros((B, cap), np.uint8)
     ns = np.ones(B, np.int32)
     crcs = np.zeros(B, np.uint32)

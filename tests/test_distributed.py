@@ -53,7 +53,7 @@ _WORKER = textwrap.dedent(
 
     level = 1
     blocks = rle1_split(data, level)
-    cap = C.block_capacity(level)
+    cap = C.block_capacity(level) + 4  # +4: crossing-piece overshoot
     B = 2 * dpp  # one row per global device; rows past len(blocks) pad
     assert len(blocks) <= B
     batch = np.zeros((B, cap), np.uint8)
@@ -154,7 +154,7 @@ def test_two_process_distributed_matches_single(tmp_path, dpp):
 
     B = 2 * dpp
     blocks = rle1_split(np.frombuffer(data, np.uint8), 1)
-    cap = C.block_capacity(1)
+    cap = C.block_capacity(1) + 4  # +4: crossing-piece overshoot
     batch = np.zeros((B, cap), np.uint8)
     ns = np.ones(B, np.int32)
     crcs = np.zeros(B, np.uint32)
