@@ -233,19 +233,100 @@ def pack_block(
         maxsel=maxsel,
     )
 
+    vals, lens, ok = _block_elements(
+        symbols, selectors, lengths, codes, hdr_vals, hdr_lens, maxsel=maxsel
+    )
+    return pack_elements(vals, lens, ok, W)
+
+
+def _block_elements(symbols, selectors, lengths, codes, hdr_vals, hdr_lens, *, maxsel):
+    """One block's full (values, bit-lengths, valid) element sequence:
+    header slots followed by Huffman symbol codes. The per-symbol length
+    and code ride ONE packed (6, 258) table gather — (code << 5) | length
+    fits 25 bits (codes < 2^20, lengths <= 20) — instead of two; gathers
+    are the priced op on this backend (tools/probe8_out.jsonl)."""
+    S = symbols.shape[0]
     gid = jnp.arange(S, dtype=jnp.int32) // C.HUFFMAN_GROUP_SIZE
     sel = selectors[jnp.clip(gid, 0, maxsel - 1)]
     valid = symbols >= 0
     sym = jnp.clip(symbols, 0, 257)
-    sym_lens = jnp.where(valid, lengths[sel, sym], 0)
-    sym_vals = jnp.where(valid, codes[sel, sym], 0).astype(jnp.uint32)
+    comb = (codes << 5) | lengths  # (6, 258) int32
+    cv = comb[sel, sym]
+    sym_lens = jnp.where(valid, cv & 31, 0)
+    sym_vals = jnp.where(valid, cv >> 5, 0).astype(jnp.uint32)
 
     vals = jnp.concatenate([hdr_vals, sym_vals])
     lens = jnp.concatenate([hdr_lens, sym_lens])
     ok = jnp.concatenate(
         [jnp.ones(hdr_vals.shape[0], jnp.int32), valid.astype(jnp.int32)]
     )
-    return pack_elements(vals, lens, ok, W)
+    return vals, lens, ok
+
+
+@functools.partial(jax.jit, static_argnames=("maxsel",))
+def pack_blocks_concat(
+    symbols: jnp.ndarray,
+    selectors: jnp.ndarray,
+    lengths: jnp.ndarray,
+    codes: jnp.ndarray,
+    crcs: jnp.ndarray,
+    orig_ptrs: jnp.ndarray,
+    used: jnp.ndarray,
+    n_groups: jnp.ndarray,
+    n_selectors: jnp.ndarray,
+    selector_mtf: jnp.ndarray,
+    live: jnp.ndarray,
+    *,
+    maxsel: int,
+):
+    """Batch pack_block FUSED with concat_block_words: every block's
+    header + symbol elements scatter ONCE into the final concatenated
+    buffer at global bit offsets, skipping the intermediate per-block
+    (B, W) words buffer and the concat's second scatter pass entirely
+    (probe24: the separate stages cost 0.29 + 0.12 s/batch at -9).
+
+    Args are the batch (leading B axis) forms of pack_block's, plus
+    ``live`` (B,) bool — padding rows contribute 0 bits.
+
+    Returns (out_words (B*W + 1,) uint32, total_bits, block_bits (B,)).
+    """
+    B, S = symbols.shape
+    Wb = packed_words(S - 2) + header_words(maxsel)
+    w_out = B * Wb + 1
+
+    hdr_vals, hdr_lens = jax.vmap(
+        functools.partial(block_header_parts, maxsel=maxsel)
+    )(crcs, orig_ptrs, used, n_groups, n_selectors, selector_mtf, lengths)
+    vals, lens, ok = jax.vmap(
+        functools.partial(_block_elements, maxsel=maxsel)
+    )(symbols, selectors, lengths, codes, hdr_vals, hdr_lens)
+
+    lens = jnp.where(live[:, None], lens, 0)
+    ok = ok * live[:, None].astype(jnp.int32)
+
+    ends = jnp.cumsum(lens, axis=1)  # (B, E) per-block inclusive
+    block_bits = ends[:, -1]
+    bases = jnp.cumsum(block_bits) - block_bits  # exclusive across blocks
+    total_bits = bases[-1] + block_bits[-1]
+    offsets = bases[:, None] + (ends - lens)  # global bit offsets
+
+    bitpos = offsets & 31
+    spill = jnp.clip(lens + bitpos - 32, 0, 31)
+    fit = jnp.clip(32 - bitpos - lens, 0, 31)
+    spills = (lens + bitpos) > 32
+    hi = jnp.where(
+        spills, vals >> spill.astype(jnp.uint32), vals << fit.astype(jnp.uint32)
+    )
+    lo = jnp.where(
+        spills, vals << jnp.clip(32 - spill, 0, 31).astype(jnp.uint32), jnp.uint32(0)
+    )
+    w0 = offsets >> 5
+
+    mask = ok.astype(bool)
+    out = jnp.zeros(w_out, jnp.uint32)
+    out = out.at[jnp.where(mask, w0, w_out)].add(hi, mode="drop")
+    out = out.at[jnp.where(mask, w0 + 1, w_out)].add(lo, mode="drop")
+    return out, total_bits, block_bits
 
 
 @jax.jit

@@ -211,12 +211,17 @@ def group_frequencies(symbols: jnp.ndarray, maxsel: int) -> jnp.ndarray:
 def huffman_assign(
     symbols: jnp.ndarray,
     n_sym: jnp.ndarray,
-    freqs: jnp.ndarray,
+    freqs: jnp.ndarray | None,
     n_in_use: jnp.ndarray,
     *,
     maxsel: int,
 ):
     """Full Huffman planning for one block.
+
+    ``freqs`` (the (258,) whole-block histogram) may be None: it is
+    exactly ``gfreq.sum(axis=0)`` of the per-group histogram computed
+    here anyway, so passing None drops the caller's separate full-width
+    histogram pass (a (width,) sort per block, ops/mtf._hist_by_sort).
 
     Returns dict: n_groups, n_selectors, selectors (maxsel,), selector_mtf
     (maxsel,), lengths (6,258), codes (6,258) — entries beyond the valid
@@ -226,6 +231,8 @@ def huffman_assign(
     n_groups = table_count(n_sym)
     n_sel = (n_sym + C.HUFFMAN_GROUP_SIZE - 1) // C.HUFFMAN_GROUP_SIZE
     gfreq = group_frequencies(symbols, maxsel)
+    if freqs is None:
+        freqs = jnp.sum(gfreq, axis=0)
     gfreq_f = gfreq.astype(jnp.float32)
 
     lengths = seed_lengths(freqs, n_groups, alpha)

@@ -350,7 +350,7 @@ def _rle2_plan(
     }
 
 
-def _rle2_out(plan: dict, width: int):
+def _rle2_out(plan: dict, width: int, *, with_freqs: bool = True):
     """Output-domain RLE2 emission over a static ``width`` >= n_sym.
 
     Emission is scatter-free on the output side: span-start markers fill
@@ -391,6 +391,11 @@ def _rle2_out(plan: dict, width: int):
     out = out.at[otrash].set(-1)
     out = out[:width]
 
+    if not with_freqs:
+        # The Huffman stage derives the block histogram as gfreq.sum(0)
+        # from the per-group histogram it builds anyway (huffman_assign
+        # freqs=None) — identical counts, one (width,) sort saved.
+        return out, None
     freqs = _hist_by_sort(jnp.where(out >= 0, out, 258), 258)
     return out, freqs
 

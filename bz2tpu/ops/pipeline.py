@@ -197,8 +197,8 @@ def emit_huff_pack_stage(plan, orig_ptr, crcs, *, width: int):
     maxsel = max_selectors(width - 2)
 
     def one(p, optr, crc):
-        sym, freqs = _rle2_out(p, width)
-        hp = huffman_assign(sym, p["n_sym"], freqs, p["n_in_use"], maxsel=maxsel)
+        sym, _ = _rle2_out(p, width, with_freqs=False)
+        hp = huffman_assign(sym, p["n_sym"], None, p["n_in_use"], maxsel=maxsel)
         words, total_bits = pack_block(
             sym, hp["selectors"], hp["lengths"], hp["codes"],
             crc, optr, p["used"], hp["n_groups"], hp["n_selectors"],
@@ -217,6 +217,37 @@ def emit_huff_pack_stage(plan, orig_ptr, crcs, *, width: int):
         }
 
     return jax.vmap(one)(plan, orig_ptr, crcs)
+
+
+# Fused pack+concat (round 5): the batch's block bitstreams scatter ONCE
+# into the final concatenated buffer at global bit offsets
+# (ops/emit.pack_blocks_concat) instead of per-block pack then a second
+# concat scatter pass. Bit-identical; BZ2TPU_FUSED_PACK=0 restores the
+# separate stages.
+_FUSED_PACK = os.environ.get("BZ2TPU_FUSED_PACK", "1") == "1"
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
+def emit_huff_pack_concat_stage(plan, orig_ptr, crcs, live, *, width: int):
+    """RLE2 emission + Huffman planning at the compact ``width``, then the
+    whole batch packs + concatenates in one scatter pass. Returns
+    (cat_words (B*W + 1,) uint32, total_bits, block_bits (B,))."""
+    from bz2tpu.ops.emit import pack_blocks_concat
+    from bz2tpu.ops.mtf import _rle2_out
+
+    maxsel = max_selectors(width - 2)
+
+    def one(p):
+        sym, _ = _rle2_out(p, width, with_freqs=False)
+        hp = huffman_assign(sym, p["n_sym"], None, p["n_in_use"], maxsel=maxsel)
+        return sym, hp
+
+    sym, hp = jax.vmap(one)(plan)
+    return pack_blocks_concat(
+        sym, hp["selectors"], hp["lengths"], hp["codes"], crcs, orig_ptr,
+        plan["used"], hp["n_groups"], hp["n_selectors"], hp["selector_mtf"],
+        live, maxsel=maxsel,
+    )
 
 
 def encode_blocks_staged(blocks, ns, crcs, *, mtf_chunk: int = 4096):
@@ -272,6 +303,7 @@ def prime_width_programs(batch: int, capacity: int) -> None:
     blocks = jnp.zeros((batch, capacity), jnp.uint8)
     ns = jnp.ones(batch, jnp.int32)
     crcs = jnp.zeros(batch, jnp.uint32)
+    live = jnp.ones(batch, bool)
     last, orig_ptr = bwt_stage(blocks, ns)
     full = capacity + 2
     compact_emit = _COMPACT_EMIT and not _BATCH_MTF
@@ -279,9 +311,15 @@ def prime_width_programs(batch: int, capacity: int) -> None:
     mtf = None if compact_emit else mtf_stage(last, ns)
     for k in _WIDTH_EIGHTHS:
         w = (full * k + 7) // 8
-        if w >= full:
+        if w >= full and not (compact_emit and _FUSED_PACK):
             continue  # the full rung compiles via prime's real compress
         if compact_emit:
+            if _FUSED_PACK:
+                cat = emit_huff_pack_concat_stage(
+                    plan, orig_ptr, crcs, live, width=w
+                )
+                jax.block_until_ready(cat)
+                continue
             out = emit_huff_pack_stage(plan, orig_ptr, crcs, width=w)
         else:
             out = huff_pack_stage(

@@ -288,6 +288,17 @@ def compress_device_intake(
 
 
 @functools.lru_cache(maxsize=None)
+def _live_mask(batch: int, n_chunk: int):
+    """Device-resident (batch,) bool mask, uploaded ONCE per distinct
+    value: a stream sees exactly two (all-live and the final partial
+    batch), and a fresh upload per batch would be an RPC per batch on
+    remote terminals."""
+    import jax.numpy as jnp
+
+    return jnp.asarray(np.arange(batch) < n_chunk)
+
+
+@functools.lru_cache(maxsize=None)
 def _pair_fetch():
     """One program stacking two scalars: the previous batch's total bits
     and the current batch's max n_sym leave the device in ONE RPC."""
@@ -391,8 +402,14 @@ def _encode_batches_concat(blocks: list[Rle1Block], capacity: int, batch: int):
             pair = np.asarray(pair_dev)
             total_prev, mx = int(pair[0]), int(pair[1])
         width = _pipe.huff_width(capacity, mx)
-        out = _pipe.emit_huff_pack_stage(plan, orig_ptr, crcs, width=width)
-        cur = concat(out, n_chunk)
+        if _pipe._FUSED_PACK:
+            cat, total, _ = _pipe.emit_huff_pack_concat_stage(
+                plan, orig_ptr, crcs, _live_mask(batch, n_chunk), width=width
+            )
+            cur = (cat, total)
+        else:
+            out = _pipe.emit_huff_pack_stage(plan, orig_ptr, crcs, width=width)
+            cur = concat(out, n_chunk)
         if prev is not None:
             # Previous batch's words transfer overlaps this batch's
             # emit+huff+pack execution.
